@@ -1,0 +1,346 @@
+"""The apply core: micro-batch changelog → dedup → MERGE → snapshot commit.
+
+This is the engine's analogue of the reference hot path
+(/root/reference/core/reader/replicate_channel_manager.go:1169-1491
+``handlePack`` + core/writer/channel_writer.go:139-212 + the relational
+batcher core/writer/devon_handler.go:120-254), re-expressed as three
+declarative Spark stages instead of a goroutine graph:
+
+1. **DDL split** — DROP_PARTITION / ADD_COLUMN / RENAME_COLUMN rows are
+   peeled off (driver-side; O(#DDL) tiny) and become manifest metadata.
+2. **Last-writer-wins dedup** — one hash aggregation
+   ``groupBy(conv_id, turn_idx).agg(max_by(payload, (ts, rank, lsn)))``
+   picks the surviving action per key. ``max_by`` is a declarative
+   aggregate with map-side partial merge, so a hot conversation's events
+   combine locally on every input partition before the single shuffle —
+   the skew answer. An explicit two-stage salted variant
+   (``salt_partitions``) is provided for window-style fallbacks and for
+   demonstrating the salting plan. Ordering semantics: higher
+   ``(ts, rank, lsn)`` wins, rank DELETE(0) < DROP(1) < INSERT/UPSERT(2) —
+   i.e. delete applies before insert at equal ts, exactly the reference's
+   intra-pack sort rule (replicate_channel_manager.go:1170-1173).
+3. **MERGE (copy-on-write, bucket-pruned)** — touched buckets =
+   ``pmod(xxhash64(conv_id), n_buckets)`` over the actions; ONLY those
+   buckets are scanned and rewritten; the manifest carries every other
+   file forward. The join is 1:1 (both sides unique per key) so it cannot
+   skew. An incoming action beats a stored row iff its (ts, rank, lsn)
+   triple is greater — which makes apply order-insensitive ACROSS batches
+   too: any partitioning of the log into micro-batches converges to the
+   same final table (stronger than the reference's per-channel serial
+   apply, replicate_message_manager.go:84-100, and what lets Spark run
+   the batch fully parallel).
+
+Exactly-once: data files are written first, then the manifest commit
+records the epoch; a crash-replay of a committed epoch is detected and
+skipped (see plans/manifest.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark import schemas as S
+from milvus_cdc_spark.plans.manifest import Manifest, SnapshotTable
+
+_BASE_PAYLOAD = list(S.PAYLOAD_COLUMNS)  # role, text, tool
+
+
+def _rank_col(op_col):
+    return (
+        F.when(op_col == S.OP_DELETE, F.lit(S.RANK_DELETE))
+        .otherwise(F.lit(S.RANK_UPSERT))
+        .cast("int")
+    )
+
+
+def dedup_last_writer(
+    dml: DataFrame,
+    payload_cols: list[str],
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Surviving action per (conv_id, turn_idx): max by (ts, rank, lsn).
+
+    Returns columns: conv_id, turn_idx, op, ts, lsn, part, *payload_cols.
+    """
+    ordkey = F.struct(
+        F.col("ts"), _rank_col(F.col("op")).alias("rank"), F.col("lsn")
+    )
+    payload = F.struct(
+        F.col("op"), F.col("ts"), F.col("lsn"), F.col("part"),
+        *[F.col(c) for c in payload_cols],
+    )
+    if salt_partitions and salt_partitions > 1:
+        # explicit two-stage salted reduction: hot keys are first reduced
+        # within salt groups, then across them — bounded fan-in per reducer
+        stage1 = (
+            dml.groupBy(
+                "conv_id",
+                "turn_idx",
+                F.pmod(F.xxhash64("lsn"), F.lit(salt_partitions)).alias("_salt"),
+            )
+            .agg(F.max_by(payload, ordkey).alias("e"))
+            .select("conv_id", "turn_idx", "e.*")
+        )
+        ordkey2 = F.struct(
+            F.col("ts"), _rank_col(F.col("op")).alias("rank"), F.col("lsn")
+        )
+        payload2 = F.struct(
+            F.col("op"), F.col("ts"), F.col("lsn"), F.col("part"),
+            *[F.col(c) for c in payload_cols],
+        )
+        winners = (
+            stage1.groupBy("conv_id", "turn_idx")
+            .agg(F.max_by(payload2, ordkey2).alias("e"))
+        )
+    else:
+        # single hash agg — max_by partial-merges map-side, so skew on a
+        # hot conversation is absorbed before the shuffle
+        winners = (
+            dml.groupBy("conv_id", "turn_idx")
+            .agg(F.max_by(payload, ordkey).alias("e"))
+        )
+    return winners.select("conv_id", "turn_idx", "e.*")
+
+
+def _parse_ddl(rows) -> tuple[list[tuple[str, str]], dict[str, str], dict[int, str]]:
+    """(add_columns, renames{from→to}, drop_watermarks{part→iso ts}) from DDL rows."""
+    adds: list[tuple[str, str]] = []
+    renames: dict[str, str] = {}
+    drops: dict[int, str] = {}
+    for r in sorted(rows, key=lambda r: r["lsn"]):
+        arg = json.loads(r["ddl_arg"]) if r["ddl_arg"] else {}
+        if r["op"] == S.OP_ADD_COLUMN:
+            adds.append((arg["column"], arg.get("type", "string")))
+        elif r["op"] == S.OP_RENAME_COLUMN:
+            renames[arg["from"]] = arg["to"]
+        elif r["op"] == S.OP_DROP_PARTITION:
+            part = int(arg.get("part", r["part"]))
+            ts = r["ts"].isoformat(sep=" ")
+            if part not in drops or ts > drops[part]:
+                drops[part] = ts
+    return adds, renames, drops
+
+
+def _new_drop_filter(drops: dict[int, str]):
+    """Predicate keeping rows NOT strictly below a new drop watermark."""
+    dead = F.lit(False)
+    for part, ts in drops.items():
+        dead = dead | (
+            (F.col("part") == part) & (F.col("ts") < F.lit(ts).cast("timestamp"))
+        )
+    return ~dead
+
+
+def apply_batch(
+    spark: SparkSession,
+    table: SnapshotTable,
+    batch_df: DataFrame,
+    epoch: int,
+    *,
+    salt_partitions: int | None = None,
+    write_lineage: bool = True,
+) -> dict[str, Any]:
+    """Apply one micro-batch of changelog rows. Idempotent per epoch."""
+    t0 = time.time()
+    if table.committed_epoch(epoch):
+        return {"epoch": epoch, "skipped": True}
+    m = table.current()
+
+    # ---- 1. DDL split (tiny; driver-side like the reference's API-event path)
+    ddl_rows = batch_df.filter(F.col("op").isin(*S.DDL_OPS)).collect()
+    adds, renames, new_drops = _parse_ddl(ddl_rows)
+
+    physical_cols = [c for c, _ in m.columns]
+    evolved_payload = [
+        c for c in physical_cols if c not in ("conv_id", "turn_idx", "ts", "part", "lsn")
+        and c not in _BASE_PAYLOAD
+    ] + [c for c, _ in adds if c not in physical_cols]
+    payload_cols = _BASE_PAYLOAD + evolved_payload
+
+    # ---- 2. per-partition lineage + counters in ONE pass over the batch
+    per_part = (
+        batch_df.groupBy("part")
+        .agg(
+            F.min("lsn").alias("start_lsn"),
+            F.max("lsn").alias("end_lsn"),
+            F.sum(F.when(F.col("op").isin(S.OP_INSERT, S.OP_UPSERT), 1).otherwise(0)).alias("n_insert"),
+            F.sum(F.when(F.col("op") == S.OP_DELETE, 1).otherwise(0)).alias("n_delete"),
+            F.sum(F.when(F.col("op").isin(*S.DDL_OPS), 1).otherwise(0)).alias("n_ddl"),
+        )
+        .collect()
+    )
+    n_insert = sum(r["n_insert"] for r in per_part)
+    n_delete = sum(r["n_delete"] for r in per_part)
+    n_ddl = sum(r["n_ddl"] for r in per_part)
+    n_events = n_insert + n_delete + n_ddl
+
+    # ---- 3. dedup to surviving actions
+    dml = batch_df.filter(F.col("op").isin(*S.DML_OPS))
+    for c in evolved_payload:
+        dml = dml.withColumn(c, F.col("extra").getItem(c))
+    # the raw dynamic-field bag rides along so an ADD_COLUMN seen in a LATER
+    # batch can still recover values at read time (order-insensitive DDL)
+    carry_cols = payload_cols + ["extra"]
+    actions = dedup_last_writer(dml, carry_cols, salt_partitions)
+
+    # drop watermarks (historical + this batch) kill strictly-older actions
+    combined_drops = {int(p): ts for p, ts in m.drop_watermarks.items()}
+    for p, ts in new_drops.items():
+        if p not in combined_drops or ts > combined_drops[p]:
+            combined_drops[p] = ts
+    if combined_drops:
+        actions = actions.filter(_new_drop_filter(combined_drops))
+
+    nb = m.n_buckets
+    actions = actions.withColumn(
+        "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
+    )
+
+    # touched buckets → scan only those target files (manifest pruning)
+    touched = [r["_bucket"] for r in actions.select("_bucket").distinct().collect()]
+
+    replaced: dict[int, list[str]] = {}
+    n_keys = 0
+    max_ts = None
+    if touched:
+        target = table.read(spark, manifest=m, buckets=touched, logical=False)
+        if new_drops:
+            target = target.filter(_new_drop_filter(new_drops))
+        # stored rows may predate an ADD_COLUMN in this batch
+        for c, _t in adds:
+            if c not in [x for x, _ in m.columns]:
+                target = target.withColumn(c, F.lit(None).cast("string"))
+
+        t = target.select(
+            F.col("conv_id"), F.col("turn_idx"),
+            F.coalesce(F.col("alive"), F.lit(True)).alias("t_alive"),
+            *[F.col(c).alias(f"t_{c}") for c in ["ts", "lsn", "part"] + carry_cols],
+        )
+        a = actions.select(
+            F.col("conv_id"), F.col("turn_idx"), F.col("_bucket"),
+            *[F.col(c).alias(f"a_{c}") for c in ["op", "ts", "lsn", "part"] + carry_cols],
+        )
+        j = t.join(a, on=["conv_id", "turn_idx"], how="full_outer")
+        a_here = F.col("a_lsn").isNotNull()
+        t_here = F.col("t_lsn").isNotNull()
+        # stored tombstones compare with DELETE rank, live rows with UPSERT rank
+        t_rank = (
+            F.when(F.col("t_alive"), F.lit(S.RANK_UPSERT))
+            .otherwise(F.lit(S.RANK_DELETE))
+            .cast("int")
+        )
+        a_wins = a_here & (
+            ~t_here
+            | (
+                F.struct(F.col("a_ts"), _rank_col(F.col("a_op")), F.col("a_lsn"))
+                > F.struct(F.col("t_ts"), t_rank, F.col("t_lsn"))
+            )
+        )
+        # DELETE winners persist as tombstones (alive=false) so later batches
+        # carrying OLDER (ts, lsn) inserts still lose — apply is commutative
+        # across any batching of the log
+        alive = F.when(a_wins, F.col("a_op") != S.OP_DELETE).otherwise(
+            F.coalesce(F.col("t_alive"), F.lit(True))
+        )
+        merged = j.select(
+            "conv_id",
+            "turn_idx",
+            *[
+                F.when(a_wins, F.col(f"a_{c}")).otherwise(F.col(f"t_{c}")).alias(c)
+                for c in carry_cols + ["ts", "part", "lsn"]
+            ],
+            alive.alias("alive"),
+            F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int").alias("_bucket"),
+        )
+
+        out_dir_rel = os.path.join("data", f"e{epoch}")
+        out_dir = os.path.join(table.root, out_dir_rel)
+        ordered_cols = [c for c, _ in m.columns] + [
+            c for c, _ in adds if c not in physical_cols
+        ] + ["alive", "extra"]
+        (
+            merged.select(*ordered_cols, "_bucket")
+            .withColumnRenamed("_bucket", "bucket")
+            .repartition(min(len(touched), 32), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out_dir)
+        )
+        replaced = {b: [] for b in touched}
+        for b in touched:
+            bdir = os.path.join(out_dir, f"bucket={b}")
+            if os.path.isdir(bdir):
+                replaced[b] = [
+                    os.path.join(out_dir_rel, f"bucket={b}", f)
+                    for f in sorted(os.listdir(bdir))
+                    if f.endswith(".parquet")
+                ]
+        stats = merged.agg(
+            F.sum(F.col("alive").cast("long")).alias("k"), F.max("ts").alias("mt")
+        ).collect()[0]
+        n_keys, max_ts = stats["k"] or 0, stats["mt"]
+
+    snap_id = table._snapshot_id(epoch)
+
+    # ---- 4. lineage + metrics (deterministic rows; appended before the
+    # commit, deduped on read — a replay rewrites identical rows)
+    if write_lineage:
+        lineage_rows = [
+            (epoch, r["part"], r["start_lsn"], r["end_lsn"],
+             r["n_insert"], r["n_delete"], r["n_ddl"], snap_id)
+            for r in per_part
+        ]
+        if lineage_rows:
+            spark.createDataFrame(lineage_rows, S.LINEAGE_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(os.path.join(table.root, "lineage"))
+        metrics_row = [
+            (epoch, n_events, n_insert, n_delete, n_ddl, n_keys, max_ts,
+             time.time() - t0, snap_id)
+        ]
+        spark.createDataFrame(metrics_row, S.METRICS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(table.root, "metrics"))
+
+    # ---- 5. atomic snapshot commit (exactly-once gate)
+    table.commit(
+        epoch,
+        replaced_buckets=replaced,
+        add_columns=adds,
+        renames=renames,
+        drop_watermarks=new_drops,
+        summary_delta={"last_epoch": epoch, "events_applied": n_events},
+    )
+    return {
+        "epoch": epoch,
+        "skipped": False,
+        "n_events": n_events,
+        "n_insert": n_insert,
+        "n_delete": n_delete,
+        "n_ddl": n_ddl,
+        "n_keys_live_in_touched": n_keys,
+        "touched_buckets": sorted(touched),
+        "snapshot_id": snap_id,
+        "apply_sec": time.time() - t0,
+    }
+
+
+def read_lineage(spark: SparkSession, table: SnapshotTable) -> DataFrame:
+    """Lineage history, deduped (crash-replays append identical rows)."""
+    path = os.path.join(table.root, "lineage")
+    if not os.path.exists(path):
+        return spark.createDataFrame([], S.LINEAGE_SCHEMA)
+    return spark.read.schema(S.LINEAGE_SCHEMA).parquet(path).distinct()
+
+
+def read_metrics(spark: SparkSession, table: SnapshotTable) -> DataFrame:
+    path = os.path.join(table.root, "metrics")
+    if not os.path.exists(path):
+        return spark.createDataFrame([], S.METRICS_SCHEMA)
+    return spark.read.schema(S.METRICS_SCHEMA).parquet(path).dropDuplicates(["epoch"])

@@ -1,0 +1,81 @@
+"""Single-threaded reference reducer — the independent replay oracle.
+
+The analogue of the reference's dual-cluster convergence oracle ("golden =
+upstream state", /root/reference/tests/testcases/test_cdc_e2e.py:78-96)
+and its msg-count replay tool (server/tool/msg_count/main.go:318-356):
+a trivially-correct sequential fold over the changelog that the engine's
+distributed MERGE result must match exactly.
+
+Fold order is the engine's declared total order: ``(ts, rank, lsn)`` with
+rank DELETE(0) < DROP_PARTITION(1) < INSERT/UPSERT(2) — delete applies
+before insert at equal ts (reference intra-pack sort,
+core/reader/replicate_channel_manager.go:1170-1173), and a partition drop
+defeats earlier-ts DML but loses to later-or-equal-ts inserts.
+
+Test-scale only: materializes the log on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from milvus_cdc_spark import schemas as S
+
+_RANKS = {
+    S.OP_DELETE: 0,
+    S.OP_DROP_PARTITION: 1,
+    S.OP_INSERT: 2,
+    S.OP_UPSERT: 2,
+    S.OP_ADD_COLUMN: 3,
+    S.OP_RENAME_COLUMN: 3,
+}
+
+
+def replay(events: list[dict[str, Any]]) -> tuple[list[dict[str, Any]], list[str]]:
+    """Fold the changelog; return (final rows, logical column names)."""
+    import json
+
+    state: dict[tuple[str, int], dict[str, Any]] = {}
+    added_cols: list[str] = []
+    renames: dict[str, str] = {}
+
+    for e in sorted(events, key=lambda e: (e["ts"], _RANKS[e["op"]], e["lsn"])):
+        op = e["op"]
+        if op == S.OP_ADD_COLUMN:
+            col = json.loads(e["ddl_arg"])["column"]
+            if col not in added_cols:
+                added_cols.append(col)
+        elif op == S.OP_RENAME_COLUMN:
+            arg = json.loads(e["ddl_arg"])
+            renames[arg["from"]] = arg["to"]
+        elif op == S.OP_DROP_PARTITION:
+            part = json.loads(e["ddl_arg"]).get("part", e["part"])
+            state = {k: v for k, v in state.items() if v["part"] != part}
+        elif op == S.OP_DELETE:
+            state.pop((e["conv_id"], e["turn_idx"]), None)
+        else:  # INSERT / UPSERT — full-row replace
+            state[(e["conv_id"], e["turn_idx"])] = {
+                "conv_id": e["conv_id"],
+                "turn_idx": e["turn_idx"],
+                "role": e["role"],
+                "text": e["text"],
+                "tool": e["tool"],
+                "ts": e["ts"],
+                "part": e["part"],
+                "lsn": e["lsn"],
+                "_extra": e.get("extra") or {},
+            }
+
+    logical_cols = [
+        renames.get(c, c)
+        for c in ["conv_id", "turn_idx", "role", "text", "tool", "ts", "part", "lsn"]
+    ] + added_cols
+
+    rows = []
+    for v in sorted(state.values(), key=lambda r: (r["conv_id"], r["turn_idx"])):
+        row = {renames.get(k, k): v[k] for k in
+               ["conv_id", "turn_idx", "role", "text", "tool", "ts", "part", "lsn"]}
+        for c in added_cols:
+            row[c] = v["_extra"].get(c)
+        rows.append(row)
+    return rows, logical_cols

@@ -1,0 +1,277 @@
+"""SnapshotTable — a MERGE-capable Parquet + versioned-manifest table format.
+
+The local stand-in for an Iceberg table (no iceberg-spark-runtime jar ships
+in this sandbox; SURVEY.md §7.4 names this fallback). It provides exactly
+the properties the CDC sink needs, each an Iceberg analogue:
+
+- **Snapshots**: every commit writes an immutable ``meta/v{N}.json`` and
+  atomically swings the ``meta/CURRENT`` pointer (os.replace). Readers see
+  a consistent file list; time travel = read an older manifest.
+- **Epoch-idempotent commits**: the manifest records ``epochs: {epoch →
+  snapshot_id}``; replaying a micro-batch whose epoch is already committed
+  is a no-op. Snapshot ids are a deterministic function of (table, epoch)
+  so a crash-replay produces byte-identical metadata. Reference analogue:
+  positions persisted after each applied pack + idempotent creates
+  (/root/reference/server/cdc_impl.go:844-873,
+  core/writer/milvus_handler.go:119-125).
+- **Bucketed layout**: data files are grouped by ``bucket =
+  pmod(xxhash64(conv_id), n_buckets)``; a MERGE rewrites only touched
+  buckets (copy-on-write) and carries the rest forward by reference —
+  at 100 TB this is what keeps a micro-batch commit O(batch), not O(table).
+- **Schema evolution**: the manifest owns the column list and a
+  physical→logical rename map. ADD_COLUMN is metadata-only (old files read
+  back NULL via explicit-schema parquet scan); RENAME_COLUMN is
+  metadata-only (projection alias at read). Reference analogue: dynamic
+  field flag (core/reader/etcd_op.go:646-649).
+- **Partition-drop watermarks**: DROP_PARTITION is metadata-only — the
+  manifest stores ``drop_watermarks: {part → ts}`` applied as a read-time
+  filter (merge-on-read for drops), compacted away on the next rewrite of
+  each bucket. Reference analogue: drop barrier + dropped-set skip
+  (core/reader/data_barrier.go:21-49,
+  core/reader/replicate_channel_manager.go:1281-1305).
+
+Single-writer commit protocol (the streaming engine serializes batches);
+on a shared filesystem a real deployment would swap the pointer write for
+an Iceberg/Hive catalog CAS — the apply logic above this layer would not
+change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SPARK_TYPES = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "timestamp": T.TimestampType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+}
+
+
+def _ts_to_str(v) -> str:
+    return v.isoformat(sep=" ")
+
+
+@dataclass
+class Manifest:
+    version: int
+    snapshot_id: str
+    n_buckets: int
+    columns: list[list[str]]  # [[physical_name, type], ...] in logical order
+    renames: dict[str, str]  # physical -> logical (only where different)
+    drop_watermarks: dict[str, str]  # part(str) -> ts iso string (strictly-less rows dead)
+    files: dict[str, list[str]]  # bucket(str) -> [relative paths]
+    epochs: dict[str, str]  # epoch(str) -> snapshot_id
+    added: list[str] = field(default_factory=list)  # columns from ADD_COLUMN
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def physical_schema(self) -> T.StructType:
+        # System columns: `alive` — False rows are delete tombstones kept so
+        # that late-arriving DML with an older (ts, lsn) still loses the merge
+        # comparison under ANY micro-batch ordering; `extra` — the winning
+        # event's dynamic-field bag, letting an ADD_COLUMN recover values for
+        # rows applied before the DDL was seen (reference dynamic-field bag,
+        # etcd_op.go:646-649). Both filtered/projected out of logical reads
+        # and removable by compaction.
+        return T.StructType(
+            [T.StructField(n, _SPARK_TYPES[t], True) for n, t in self.columns]
+            + [
+                T.StructField("alive", T.BooleanType(), True),
+                T.StructField(
+                    "extra", T.MapType(T.StringType(), T.StringType()), True
+                ),
+            ]
+        )
+
+    def logical_name(self, physical: str) -> str:
+        return self.renames.get(physical, physical)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        return Manifest(**json.loads(s))
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "meta")
+        self.data_dir = os.path.join(root, "data")
+
+    # -- lifecycle -------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, "CURRENT"))
+
+    def create(
+        self, columns: list[tuple[str, str]], n_buckets: int = 16, overwrite: bool = False
+    ) -> Manifest:
+        if self.exists():
+            if not overwrite:
+                # idempotent create (reference skip-if-exists,
+                # milvus_handler.go:119-125)
+                return self.current()
+            shutil.rmtree(self.root)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+        m = Manifest(
+            version=0,
+            snapshot_id=self._snapshot_id(-1),
+            n_buckets=n_buckets,
+            columns=[list(c) for c in columns],
+            renames={},
+            drop_watermarks={},
+            files={},
+            epochs={},
+            summary={"total_rows": 0},
+        )
+        self._write_manifest(m)
+        return m
+
+    def current(self) -> Manifest:
+        with open(os.path.join(self.meta_dir, "CURRENT")) as f:
+            v = int(f.read().strip())
+        return self.at_version(v)
+
+    def at_version(self, v: int) -> Manifest:
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return Manifest.from_json(f.read())
+
+    def _snapshot_id(self, epoch: int) -> str:
+        raw = f"{os.path.basename(self.root)}:{epoch}".encode()
+        return "snap-" + hashlib.sha1(raw).hexdigest()[:16]
+
+    def _write_manifest(self, m: Manifest) -> None:
+        path = os.path.join(self.meta_dir, f"v{m.version}.json")
+        with open(path, "w") as f:
+            f.write(m.to_json())
+        tmp = os.path.join(self.meta_dir, ".CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(m.version))
+        os.replace(tmp, os.path.join(self.meta_dir, "CURRENT"))  # atomic swing
+
+    # -- read ------------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        manifest: Manifest | None = None,
+        buckets: list[int] | None = None,
+        apply_drops: bool = True,
+        logical: bool = True,
+    ) -> DataFrame:
+        """Scan the table at a snapshot with logical schema.
+
+        ``buckets`` restricts the scan to a file subset (manifest-level
+        pruning — the analogue of Iceberg partition pruning in a MERGE).
+        """
+        m = manifest or self.current()
+        keys = [str(b) for b in buckets] if buckets is not None else list(m.files)
+        paths = [
+            os.path.join(self.root, rel) for k in keys for rel in m.files.get(k, [])
+        ]
+        schema = m.physical_schema()
+        if not paths:
+            df = spark.createDataFrame([], schema)
+        else:
+            # explicit schema → files from before an ADD_COLUMN read NULL
+            df = spark.read.schema(schema).parquet(*paths)
+        if apply_drops and m.drop_watermarks:
+            df = df.filter(~self.drop_predicate(m))
+        if not logical:
+            return df
+        # logical view: live rows only; added columns recover pre-DDL values
+        # from the stored dynamic-field bag; rename projection applied
+        def _logical(n: str, t: str):
+            c = F.col(n)
+            if n in m.added:
+                c = F.coalesce(c, F.col("extra").getItem(n).cast(_SPARK_TYPES[t]))
+            return c.alias(m.logical_name(n))
+
+        return df.filter(F.coalesce(F.col("alive"), F.lit(True))).select(
+            *[_logical(n, t) for n, t in m.columns]
+        )
+
+    @staticmethod
+    def drop_predicate(m: Manifest):
+        """Rows strictly older than a partition-drop watermark are dead."""
+        pred = F.lit(False)
+        for part, ts in m.drop_watermarks.items():
+            pred = pred | (
+                (F.col("part") == int(part)) & (F.col("ts") < F.lit(ts).cast("timestamp"))
+            )
+        return pred
+
+    # -- commit ----------------------------------------------------------
+    def committed_epoch(self, epoch: int) -> bool:
+        return str(epoch) in self.current().epochs
+
+    def commit(
+        self,
+        epoch: int,
+        *,
+        replaced_buckets: dict[int, list[str]] | None = None,
+        add_columns: list[tuple[str, str]] | None = None,
+        renames: dict[str, str] | None = None,
+        drop_watermarks: dict[int, str] | None = None,
+        summary_delta: dict[str, Any] | None = None,
+    ) -> Manifest:
+        """Atomically produce the next snapshot. Idempotent per epoch."""
+        m = self.current()
+        if str(epoch) in m.epochs:
+            return m
+        files = dict(m.files)
+        for b, rels in (replaced_buckets or {}).items():
+            if rels:
+                files[str(b)] = rels
+            else:
+                files.pop(str(b), None)
+        columns = [list(c) for c in m.columns]
+        added = list(m.added)
+        have = {c[0] for c in columns}
+        for name, typ in add_columns or []:
+            if name not in have:
+                columns.append([name, typ])
+                added.append(name)
+        ren = dict(m.renames)
+        for frm, to in (renames or {}).items():
+            # `frm` is a logical name; resolve to its physical column
+            physical = next(
+                (p for p in have if m.renames.get(p, p) == frm), frm
+            )
+            ren[physical] = to
+        wm = dict(m.drop_watermarks)
+        for part, ts in (drop_watermarks or {}).items():
+            old = wm.get(str(part))
+            wm[str(part)] = max(old, ts) if old else ts
+        summary = dict(m.summary)
+        for k, v in (summary_delta or {}).items():
+            summary[k] = summary.get(k, 0) + v if isinstance(v, (int, float)) else v
+        epochs = dict(m.epochs)
+        snap = self._snapshot_id(epoch)
+        epochs[str(epoch)] = snap
+        nm = Manifest(
+            version=m.version + 1,
+            snapshot_id=snap,
+            n_buckets=m.n_buckets,
+            columns=columns,
+            renames=ren,
+            drop_watermarks=wm,
+            files=files,
+            epochs=epochs,
+            added=added,
+            summary=summary,
+        )
+        self._write_manifest(nm)
+        return nm

@@ -1,0 +1,102 @@
+"""Schemas for the changelog, target table, lineage and metrics.
+
+Reference analogues:
+- changelog row  ~ one TsMsg inside a MsgPack
+  (/root/reference/core/api/replicate_msg.go:25-30; pack handling
+  core/reader/replicate_channel_manager.go:1169-1491)
+- op vocabulary  ~ the whitelist Insert/Delete/DropCollection/DropPartition
+  (core/reader/replicate_channel_manager.go:1162-1167) plus the fork's
+  Upsert (core/writer/devon_handler.go:152-157) and schema-evolution ops
+  standing in for the dynamic-field flag (core/reader/etcd_op.go:646-649).
+- ``lsn``        ~ hybrid timestamp total order (server/cdc_impl.go:532-541)
+- ``part``       ~ pchannel/vchannel shard (core/model/reader.go:28-47)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- op vocabulary -----------------------------------------------------------
+OP_INSERT = "INSERT"
+OP_UPSERT = "UPSERT"
+OP_DELETE = "DELETE"
+OP_DROP_PARTITION = "DROP_PARTITION"
+OP_ADD_COLUMN = "ADD_COLUMN"
+OP_RENAME_COLUMN = "RENAME_COLUMN"
+
+DML_OPS = (OP_INSERT, OP_UPSERT, OP_DELETE)
+DDL_OPS = (OP_DROP_PARTITION, OP_ADD_COLUMN, OP_RENAME_COLUMN)
+ALL_OPS = DML_OPS + DDL_OPS
+
+# Ordering rank at equal ts: DELETE applies before DROP_PARTITION applies
+# before INSERT/UPSERT — the reference sorts Delete before Insert at equal
+# BeginTs (core/reader/replicate_channel_manager.go:1170-1173); the drop
+# barrier fires between them. Higher rank wins last-writer-wins.
+RANK_DELETE = 0
+RANK_DROP = 1
+RANK_UPSERT = 2
+
+# --- changelog (the synthetic mutation log; FIXTURES.md §2) ------------------
+CHANGELOG_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("part", T.IntegerType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ddl_arg", T.StringType(), True),
+        # dynamic-column bag for post-ADD_COLUMN payloads (reference's
+        # EnableDynamicField JSON bag, etcd_op.go:646-649)
+        T.StructField("extra", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+# --- target table (BASELINE.json input_hint + FIXTURES.md §1) ----------------
+# Base (pre-evolution) logical schema of `transcripts`. `part` is the explicit
+# partition column targeted by DROP_PARTITION; `lsn` records the applied
+# event for lineage/debug (monotonic per key).
+TRANSCRIPTS_BASE_COLUMNS: list[tuple[str, str]] = [
+    ("conv_id", "string"),
+    ("turn_idx", "int"),
+    ("role", "string"),
+    ("text", "string"),
+    ("tool", "string"),
+    ("ts", "timestamp"),
+    ("part", "int"),
+    ("lsn", "bigint"),
+]
+
+PAYLOAD_COLUMNS = ("role", "text", "tool")  # evolvable payload set grows via ADD_COLUMN
+
+# --- lineage (reference: positions persisted per pack, server/cdc_impl.go:844-873)
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("part", T.IntegerType(), False),
+        T.StructField("start_lsn", T.LongType(), True),
+        T.StructField("end_lsn", T.LongType(), True),
+        T.StructField("n_insert", T.LongType(), False),
+        T.StructField("n_delete", T.LongType(), False),
+        T.StructField("n_ddl", T.LongType(), False),
+        T.StructField("snapshot_id", T.StringType(), False),
+    ]
+)
+
+# --- metrics (reference: server/metrics/metrics.go:107-137) ------------------
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("n_insert", T.LongType(), False),
+        T.StructField("n_delete", T.LongType(), False),
+        T.StructField("n_ddl", T.LongType(), False),
+        T.StructField("n_keys", T.LongType(), False),
+        T.StructField("max_ts", T.TimestampType(), True),
+        T.StructField("apply_sec", T.DoubleType(), False),
+        T.StructField("snapshot_id", T.StringType(), False),
+    ]
+)

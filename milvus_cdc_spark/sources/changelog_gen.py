@@ -1,0 +1,148 @@
+"""Deterministic, distributed synthetic changelog generator.
+
+Stand-in for the reference's upstream mutation producers (the dual-Milvus
+e2e tests drive inserts/upserts/deletes/drops from checker threads,
+/root/reference/tests/base/checker.py:86-131 and
+tests/testcases/test_cdc_sync_requests.py:29-657). Here the log is a table.
+
+Everything is derived from ``spark.range(n)`` with ``xxhash64`` — pure
+JVM/whole-stage-codegen, no Python in the loop, no driver materialization —
+so the SAME code generates 10^4 rows for pytest and 10^10 rows on a
+cluster (generation streams straight into the writer / consumer).
+
+Distribution properties (FIXTURES.md §2):
+- Zipf-ish skew: ``hot_pct``% of events hit ``n_hot`` hot conversations.
+- Upserts rewriting earlier turns (last-write-wins path).
+- Equal-ts groups (``ties_group`` events share a timestamp) exercising the
+  delete-before-insert tie-break (reference
+  core/reader/replicate_channel_manager.go:1170-1173).
+- DROP_PARTITION / ADD_COLUMN / RENAME_COLUMN interleaved at deterministic
+  positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark import schemas as S
+
+BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def generate_changelog(
+    spark: SparkSession,
+    n: int,
+    *,
+    seed: int = 42,
+    n_parts: int = 8,
+    n_convs: int = 200,
+    turns_per_conv: int = 50,
+    n_hot: int = 3,
+    hot_pct: int = 20,
+    delete_pct: int = 10,
+    upsert_pct: int = 30,
+    ties_group: int = 4,
+    evolve: bool = True,
+    drops: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return an ``n``-row changelog DataFrame with CHANGELOG_SCHEMA."""
+    rng = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    c = F.col("id")
+
+    def h(salt: int):
+        return F.xxhash64(c, F.lit(seed), F.lit(salt))
+
+    def hmod(salt: int, m: int):
+        return F.pmod(h(salt), F.lit(m))
+
+    add_lsn = (n * 30) // 100 if evolve and n >= 20 else -1
+    rename_lsn = (n * 75) // 100 if evolve and n >= 20 else -1
+    drop_lsns = [(n * 55) // 100] if drops and n >= 20 else []
+
+    is_add = c == F.lit(add_lsn) if add_lsn >= 0 else F.lit(False)
+    is_rename = c == F.lit(rename_lsn) if rename_lsn >= 0 else F.lit(False)
+    is_drop = c.isin(drop_lsns) if drop_lsns else F.lit(False)
+    is_ddl = is_add | is_rename | is_drop
+
+    hv = hmod(1, 100)
+    op = (
+        F.when(is_add, F.lit(S.OP_ADD_COLUMN))
+        .when(is_rename, F.lit(S.OP_RENAME_COLUMN))
+        .when(is_drop, F.lit(S.OP_DROP_PARTITION))
+        .when(hv < delete_pct, F.lit(S.OP_DELETE))
+        .when(hv < delete_pct + upsert_pct, F.lit(S.OP_UPSERT))
+        .otherwise(F.lit(S.OP_INSERT))
+    )
+
+    conv_id = F.when(
+        hmod(2, 100) < hot_pct, F.concat(F.lit("hot_"), hmod(3, n_hot))
+    ).otherwise(F.concat(F.lit("conv_"), hmod(4, n_convs)))
+    conv_id = F.when(is_ddl, F.lit(None).cast("string")).otherwise(conv_id)
+
+    turn_idx = F.when(is_ddl, F.lit(None).cast("int")).otherwise(
+        hmod(5, turns_per_conv).cast("int")
+    )
+
+    # part: hash of conv_id for DML (the reference shards by channel hash of
+    # the key space); explicit target part for DROP_PARTITION events.
+    part = F.when(is_drop, F.pmod(h(6), F.lit(n_parts)).cast("int")).otherwise(
+        F.pmod(F.xxhash64(conv_id), F.lit(n_parts)).cast("int")
+    )
+
+    ts = F.timestamp_seconds(F.lit(BASE_EPOCH) + (c / F.lit(ties_group)).cast("long"))
+
+    role = F.when(op != S.OP_DELETE,
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+            (hmod(7, 4) + 1).cast("int"),
+        )
+    )
+    is_payload = ~is_ddl & (op != S.OP_DELETE)
+    text = F.when(
+        is_payload, F.concat(F.lit("t|"), conv_id, F.lit("|"), turn_idx, F.lit("|v"), c)
+    )
+    tool = F.when(
+        is_payload & (role == "tool"), F.concat(F.lit("tool_"), hmod(8, 7))
+    )
+
+    ddl_arg = (
+        F.when(is_add, F.lit('{"column":"tool_args","type":"string"}'))
+        .when(is_rename, F.lit('{"from":"tool","to":"tool_name"}'))
+        .when(is_drop, F.concat(F.lit('{"part":'), part, F.lit("}")))
+    )
+
+    extra = F.when(
+        is_payload & F.lit(add_lsn >= 0) & (c > F.lit(add_lsn)),
+        F.create_map(F.lit("tool_args"), F.concat(F.lit("a"), c)),
+    )
+
+    return rng.select(
+        c.alias("lsn"),
+        ts.alias("ts"),
+        part.alias("part"),
+        op.alias("op"),
+        conv_id.alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ddl_arg.alias("ddl_arg"),
+        extra.alias("extra"),
+    )
+
+
+def write_changelog(df: DataFrame, path: str, n_files: int = 16) -> None:
+    """Write the changelog as ``n_files`` lsn-ranged parquet files.
+
+    Range-partitioned by lsn so the file-stream source consumes the log
+    roughly in order (the analogue of MQ seek order), though the apply
+    path is correct under ANY batching (see operators/apply.py).
+    """
+    (
+        df.repartitionByRange(n_files, "lsn")
+        .sortWithinPartitions("lsn")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

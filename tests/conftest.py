@@ -1,0 +1,15 @@
+import pytest
+
+from milvus_cdc_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        "milvus_cdc_spark_tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests"},
+    )
+    yield s
+    s.stop()
