@@ -1,0 +1,161 @@
+"""Streaming engine: tail the changelog, apply each micro-batch exactly once.
+
+The analogue of the reference's task runtime
+(/root/reference/server/cdc_impl.go:504-597 ``startInternal`` building the
+reader→writer graph, :796-877 the DML apply loop). A *task* here is one
+Structured Streaming query:
+
+    changelog dir --readStream--> foreachBatch(apply_batch) --> SnapshotTable
+
+- **Checkpoint/resume**: the streaming checkpoint dir persists source
+  offsets (reference: positions persisted per pack,
+  server/cdc_impl.go:844-873); pause = stop the query, resume = start
+  again with the same checkpoint. A batch replayed after a crash hits the
+  epoch-idempotence gate in apply_batch and is skipped.
+- **Pacing**: maxFilesPerTrigger bounds batch size (reference:
+  readChanLen/backpressure, doc/cdc-usage.md:81-82).
+- **Error pause**: a failing batch stops the query with the reason
+  recorded (reference pause-on-error, server/cdc_impl.go:972-1003).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from milvus_cdc_spark.operators.apply import apply_batch
+from milvus_cdc_spark.plans.manifest import SnapshotTable
+from milvus_cdc_spark.schemas import TRANSCRIPTS_BASE_COLUMNS
+from milvus_cdc_spark.sources.changelog import read_changelog_stream
+
+
+class CdcTask:
+    """One replication task: changelog path → SnapshotTable.
+
+    States mirror the reference task lifecycle Initial/Running/Paused
+    (server/model/meta/task.go:29-42); state is derived from the live
+    query handle + a small JSON status file next to the checkpoint.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        changelog_path: str,
+        table_root: str,
+        checkpoint_dir: str,
+        *,
+        max_files_per_trigger: int | None = 4,
+        salt_partitions: int | None = None,
+        n_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.changelog_path = changelog_path
+        self.table = SnapshotTable(table_root)
+        if not self.table.exists():
+            self.table.create(TRANSCRIPTS_BASE_COLUMNS, n_buckets=n_buckets)
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        self.salt_partitions = salt_partitions
+        self.query = None
+        self.last_error: str | None = None
+        self._status_path = os.path.join(checkpoint_dir, "task_status.json")
+
+    # -- lifecycle (reference C1-C4, server/cdc_api.go:26-36) -------------
+    def start(self, available_now: bool = False):
+        def _apply(batch_df, epoch_id: int):
+            apply_batch(
+                self.spark,
+                self.table,
+                batch_df,
+                epoch_id,
+                salt_partitions=self.salt_partitions,
+            )
+
+        stream = read_changelog_stream(
+            self.spark, self.changelog_path, self.max_files_per_trigger
+        )
+        writer = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(f"cdc:{os.path.basename(self.table.root)}")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="1 second")
+        self.query = writer.start()
+        self._write_status("Running")
+        return self.query
+
+    def pause(self):
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+        self._write_status("Paused")
+
+    def resume(self, available_now: bool = False):
+        return self.start(available_now=available_now)
+
+    def wait_drained(self, timeout_sec: float = 600.0) -> bool:
+        """Block until an availableNow run finishes; record errors."""
+        assert self.query is not None
+        try:
+            ok = self.query.awaitTermination(timeout_sec)
+            if ok:
+                self._write_status("Stopped")
+            return bool(ok)
+        except Exception as e:  # error → pause with reason (reference C4)
+            self.last_error = str(e)
+            self._write_status("Paused", reason=self.last_error[:500])
+            raise
+
+    def status(self) -> dict[str, Any]:
+        m = self.table.current()
+        st = {"state": "Running" if self.query and self.query.isActive else "Stopped"}
+        if os.path.exists(self._status_path):
+            with open(self._status_path) as f:
+                st.update(json.loads(f.read()))
+            st["state"] = (
+                "Running" if self.query and self.query.isActive else st.get("persisted_state", "Stopped")
+            )
+        st.update(
+            {
+                "snapshot_id": m.snapshot_id,
+                "table_version": m.version,
+                "epochs_committed": len(m.epochs),
+                "summary": m.summary,
+            }
+        )
+        return st
+
+    def _write_status(self, state: str, reason: str | None = None):
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        with open(self._status_path, "w") as f:
+            f.write(
+                json.dumps(
+                    {"persisted_state": state, "reason": reason, "ts": time.time()}
+                )
+            )
+
+
+def run_until_drained(
+    spark: SparkSession,
+    changelog_path: str,
+    table_root: str,
+    checkpoint_dir: str,
+    **kw,
+) -> CdcTask:
+    """Batch-drain mode: process everything currently in the log, then stop.
+
+    availableNow still honors maxFilesPerTrigger, so the run is a sequence
+    of bounded micro-batches with per-epoch commits — identical semantics
+    to the continuous trigger, minus the idle polling.
+    """
+    task = CdcTask(spark, changelog_path, table_root, checkpoint_dir, **kw)
+    task.start(available_now=True)
+    task.wait_drained()
+    return task

@@ -83,6 +83,29 @@ def test_salted_dedup_same_result(spark, changelog, oracle_result, tmp_path):
     assert got == want
 
 
+def test_out_of_order_batches_converge(spark, changelog, oracle_result, tmp_path):
+    """Apply lsn slices in shuffled order → identical final table.
+
+    Regression for two verify-probe bugs: deletes must persist as
+    tombstones, and ADD_COLUMN must recover values from the stored
+    dynamic-field bag when the DDL arrives after the data.
+    """
+    from milvus_cdc_spark.schemas import TRANSCRIPTS_BASE_COLUMNS
+
+    table = SnapshotTable(str(tmp_path / "ooo"))
+    table.create(TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    log = read_changelog(spark, changelog)
+    step = N // 5
+    for epoch, i in enumerate([4, 1, 3, 0, 2]):
+        batch = log.filter(
+            (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+        )
+        apply_batch(spark, table, batch, epoch=epoch)
+    got, _ = _table_rows(spark, table)
+    want, _ = _oracle_rows(oracle_result)
+    assert got == want
+
+
 def test_epoch_replay_is_idempotent(spark, changelog, tmp_path):
     table = _apply_in_batches(spark, str(tmp_path / "t4"), changelog, 4)
     before, _ = _table_rows(spark, table)
