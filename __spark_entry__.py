@@ -1,38 +1,558 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() keys map to SURVEY.md §2 operator ids (cdc_* = the CDC engine
+inventory S/F/O/W/C rows) plus the training-data-pipeline operator family
+(doc_*, emb_*, ann_*) and two TPC-H-style analytics probes.
+
+Cross-engine determinism rules used throughout (Spark result must
+value-hash-equal the DuckDB oracle):
+- computed numerics are INTEGERS: money as floor(x*100) cents PER ROW
+  before any SUM (bigint sums are associative; double sums are not),
+  similarities as floor(cos*1e6), ratios as floor(r*1000);
+- string hashing is md5-based (portable to DuckDB);
+- every aggregate/computed column aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark import schemas as S
+from milvus_cdc_spark.functions import text as TXT
+from milvus_cdc_spark.operators import dedup as DD
+from milvus_cdc_spark.operators.apply import apply_batch
+from milvus_cdc_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+N_PARTS = 8  # derived changelog partitions (user_id % 8)
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# events → transcript-changelog derivation, shared by the Spark engine path
+# and (as SQL) by the oracle: signup→INSERT, purchase→UPSERT, error→DELETE,
+# click/view → dropped by the op whitelist (reference F1,
+# core/reader/replicate_channel_manager.go:1162-1167).
+# --------------------------------------------------------------------------
+_OP_MAP = {"signup": "INSERT", "purchase": "UPSERT", "error": "DELETE"}
+
+_DERIVE_SQL = """
+    SELECT event_id AS lsn, ts,
+           CAST(user_id % 8 AS INT) AS part,
+           CASE event_type WHEN 'signup' THEN 'INSERT'
+                           WHEN 'purchase' THEN 'UPSERT'
+                           ELSE 'DELETE' END AS op,
+           'u' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 5 AS INT) AS turn_idx,
+           'user' AS role,
+           'v' || CAST(event_id AS VARCHAR) AS text,
+           CAST(NULL AS VARCHAR) AS tool
+    FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+"""
+
+
+def _derive_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_OP_MAP)
+    )
+    op = F.col("event_type")
+    for k, v in _OP_MAP.items():
+        op = F.when(F.col("event_type") == k, F.lit(v)).otherwise(op)
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("ts"),
+        F.pmod(F.col("user_id"), F.lit(N_PARTS)).cast("int").alias("part"),
+        op.alias("op"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(5)).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("v"), F.col("event_id")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("string").alias("ddl_arg"),
+        F.lit(None).cast("map<string,string>").alias("extra"),
+    )
+
+
+def _q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: run the REAL engine (SnapshotTable + 3 micro-batch
+    apply_batch MERGEs) over the derived changelog; the oracle is a pure
+    window query — so the entire dedup/merge/commit machinery is what's
+    being checked, not a mirrored expression."""
+    log = _derive_changelog(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    step = hi // 3 + 1
+    for i in range(3):
+        batch = log.filter(
+            (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+        )
+        apply_batch(spark, table, batch, epoch=i)
+    return table.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn"
+    )
+
+
+_ORACLE_FINAL_STATE = f"""
+WITH log AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log)
+SELECT conv_id, turn_idx, role, text, ts, part, lsn
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+"""
+
+
+# ---- portable SQL fragments for the text family ---------------------------
+_SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _sql_stop_count(words: list[str], toks: str = "toks") -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({toks}, x -> list_contains({lst}, x)))"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ===== CDC engine inventory (SURVEY.md §2) =====
+    q["cdc_final_state"] = _q_cdc_final_state
+
+    def cdc_op_whitelist(spark, sf):  # F1
+        return (
+            _t(spark, sf, "events")
+            .filter(F.col("event_type").isin("signup", "purchase", "error"))
+            .select("event_id", "user_id", "event_type")
+        )
+    q["cdc_op_whitelist"] = cdc_op_whitelist
+
+    def cdc_read_filter(spark, sf):  # F2: wildcard-minus-excludes
+        return (
+            _t(spark, sf, "events")
+            .filter(~F.col("event_type").isin("click", "view"))
+            .filter(F.pmod(F.col("user_id"), F.lit(10)) != 0)
+            .select("event_id", "user_id", "event_type")
+        )
+    q["cdc_read_filter"] = cdc_read_filter
+
+    def cdc_ordered_replay(spark, sf):  # O1 intra-pack sort w/ delete-first
+        from pyspark.sql import Window
+
+        log = _derive_changelog(spark, sf)
+        w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+            "ts",
+            F.when(F.col("op") == "DELETE", 0).otherwise(2),
+            "lsn",
+        )
+        return (
+            log.withColumn("seq", F.row_number().over(w))
+            .filter(F.col("seq") <= 3)
+            .select("conv_id", "turn_idx", "lsn", "op", "seq")
+        )
+    q["cdc_ordered_replay"] = cdc_ordered_replay
+
+    def cdc_last_writer(spark, sf):  # O2 as a pure window (vs engine path)
+        from pyspark.sql import Window
+
+        log = _derive_changelog(spark, sf)
+        w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+            F.desc("ts"),
+            F.desc(F.when(F.col("op") == "DELETE", 0).otherwise(2)),
+            F.desc("lsn"),
+        )
+        return (
+            log.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("conv_id", "turn_idx", "op", "lsn", "ts")
+        )
+    q["cdc_last_writer"] = cdc_last_writer
+
+    def cdc_drop_barrier(spark, sf):  # O4 count-down barrier analogue
+        return (
+            _t(spark, sf, "events")
+            .groupBy("event_type")
+            .agg(
+                F.countDistinct(F.pmod(F.col("user_id"), F.lit(N_PARTS))).alias(
+                    "parts_seen"
+                )
+            )
+            .withColumn("barrier_fired", F.col("parts_seen") == N_PARTS)
+        )
+    q["cdc_drop_barrier"] = cdc_drop_barrier
+
+    def cdc_recreate_dedup(spark, sf):  # O5 latest create per name
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            _t(spark, sf, "events")
+            .filter(F.col("event_type") == "signup")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_id").alias("latest_signup_id"))
+        )
+    q["cdc_recreate_dedup"] = cdc_recreate_dedup
+
+    def cdc_lineage(spark, sf):  # W7 per-partition offset ranges + counts
+        log = _derive_changelog(spark, sf)
+        return log.groupBy("part").agg(
+            F.min("lsn").alias("start_lsn"),
+            F.max("lsn").alias("end_lsn"),
+            F.sum(F.when(F.col("op") != "DELETE", 1).otherwise(0)).alias("n_insert"),
+            F.sum(F.when(F.col("op") == "DELETE", 1).otherwise(0)).alias("n_delete"),
+        )
+    q["cdc_lineage"] = cdc_lineage
+
+    def cdc_metrics(spark, sf):  # C7 replicate_data_cnt/size analogue
+        return (
+            _t(spark, sf, "events")
+            .withColumn("value_cents", F.floor(F.col("value") * 100).cast("bigint"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value_cents").alias("sum_value_cents"),
+            )
+        )
+    q["cdc_metrics"] = cdc_metrics
+
+    def cdc_meta_snapshot(spark, sf):  # S1 bootstrap scan rollup
+        return (
+            _t(spark, sf, "events")
+            .groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"))
+        )
+    q["cdc_meta_snapshot"] = cdc_meta_snapshot
+
+    # ===== training-data pipeline operators =====
+    def doc_dedup_exact(spark, sf):
+        return DD.dedup_exact(_t(spark, sf, "documents"))
+    q["doc_dedup_exact"] = doc_dedup_exact
+
+    def doc_text_stats(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            TXT.token_count(F.col("text")).alias("n_tokens"),
+            TXT.char_count(F.col("text")).alias("n_chars_computed"),
+            TXT.punct_count(F.col("text")).alias("n_punct"),
+            TXT.stopword_count(F.col("text"), "en").alias("n_stopwords_en"),
+        )
+    q["doc_text_stats"] = doc_text_stats
+
+    def doc_lang_id(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id", TXT.lang_id(F.col("text")).alias("lang_guess")
+        )
+    q["doc_lang_id"] = doc_lang_id
+
+    def doc_fingerprint(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id", TXT.fingerprint(F.col("text")).alias("fp")
+        )
+    q["doc_fingerprint"] = doc_fingerprint
+
+    def doc_quality_score(spark, sf):
+        return _t(spark, sf, "documents").select(
+            "doc_id", TXT.quality_score_milli(F.col("text")).alias("score_milli")
+        )
+    q["doc_quality_score"] = doc_quality_score
+
+    def doc_ngram_jaccard(spark, sf):
+        return DD.shingle_jaccard_pairs(
+            _t(spark, sf, "documents"), threshold_milli=100, k=2
+        )
+    q["doc_ngram_jaccard"] = doc_ngram_jaccard
+
+    def doc_minhash_lsh(spark, sf):
+        return DD.minhash_lsh_pairs(
+            _t(spark, sf, "documents"), threshold_milli=100, n_hashes=16, bands=4, k=2
+        )
+    q["doc_minhash_lsh"] = doc_minhash_lsh
+
+    def doc_simhash(spark, sf):
+        return DD.simhash_pairs(_t(spark, sf, "documents"), max_hamming=6, bits=32, bands=4)
+    q["doc_simhash"] = doc_simhash
+
+    def emb_neardup(spark, sf):
+        return DD.embedding_neardup_pairs(
+            _t(spark, sf, "embeddings"), threshold_micro=400000
+        )
+    q["emb_neardup"] = emb_neardup
+
+    def ann_topk_bruteforce(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return brute_force_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+    q["ann_topk_bruteforce"] = ann_topk_bruteforce
+
+    def ann_topk_lsh(spark, sf):  # approximate — rows-only check
+        e = _t(spark, sf, "embeddings")
+        return lsh_topk(e.filter(F.col("vec_id") < 10), e, k=5, n_planes=3)
+    q["ann_topk_lsh"] = ann_topk_lsh
+
+    def ann_topk_ivf(spark, sf):  # approximate — rows-only check
+        e = _t(spark, sf, "embeddings")
+        return ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+    q["ann_topk_ivf"] = ann_topk_ivf
+
+    def mm_media_features(spark, sf):  # multimodal plumbing — rows-only
+        from milvus_cdc_spark.operators.multimodal import extract_features, synthesize_media
+
+        return extract_features(synthesize_media(spark, 48), dim=8).select(
+            "media_id", "kind", "n_bytes", "thumb_w", "thumb_h"
+        )
+    q["mm_media_features"] = mm_media_features
+
+    # ===== analytics probes (Catalyst breadth: agg + multi-join) =====
+    def tpch_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.withColumn("price_cents", F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .withColumn("qty_int", F.floor(F.col("l_quantity")).cast("bigint"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("qty_int").alias("sum_qty"),
+                F.sum("price_cents").alias("sum_price_cents"),
+                F.count("*").alias("count_order"),
+            )
+        )
+    q["tpch_pricing_summary"] = tpch_pricing_summary
+
+    def tpch_revenue_by_nation(spark, sf):
+        li = _t(spark, sf, "lineitem").withColumn(
+            "rev_cents",
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint"),
+        )
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum("rev_cents").alias("revenue_cents"),
+                 F.count("*").alias("n_items"))
+        )
+    q["tpch_revenue_by_nation"] = tpch_revenue_by_nation
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw_en = _sql_stop_count(TXT.STOPWORDS["en"])
+    lang_scores = {
+        lang: _sql_stop_count(words) for lang, words in TXT.STOPWORDS.items()
+    }
+    best = f"greatest({lang_scores['en']}, {lang_scores['de']}, {lang_scores['fr']}, {lang_scores['es']})"
+
+    return {
+        "cdc_final_state": _ORACLE_FINAL_STATE,
+        "cdc_op_whitelist": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_type IN ('signup','purchase','error')""",
+        "cdc_read_filter": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_type NOT IN ('click','view') AND user_id % 10 <> 0""",
+        "cdc_ordered_replay": f"""
+            WITH log AS ({_DERIVE_SQL})
+            SELECT conv_id, turn_idx, lsn, op, seq FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts, (CASE WHEN op='DELETE' THEN 0 ELSE 2 END), lsn) AS seq
+              FROM log) WHERE seq <= 3""",
+        "cdc_last_writer": f"""
+            WITH log AS ({_DERIVE_SQL})
+            SELECT conv_id, turn_idx, op, lsn, ts FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, (CASE WHEN op='DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC) AS rn
+              FROM log) WHERE rn = 1""",
+        "cdc_drop_barrier": f"""
+            SELECT event_type, COUNT(DISTINCT user_id % {N_PARTS}) AS parts_seen,
+                   COUNT(DISTINCT user_id % {N_PARTS}) = {N_PARTS} AS barrier_fired
+            FROM events GROUP BY event_type""",
+        "cdc_recreate_dedup": """
+            SELECT user_id, event_id AS latest_signup_id FROM (
+              SELECT user_id, event_id, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE event_type = 'signup') WHERE rn = 1""",
+        "cdc_lineage": f"""
+            WITH log AS ({_DERIVE_SQL})
+            SELECT part, MIN(lsn) AS start_lsn, MAX(lsn) AS end_lsn,
+                   SUM(CASE WHEN op <> 'DELETE' THEN 1 ELSE 0 END) AS n_insert,
+                   SUM(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS n_delete
+            FROM log GROUP BY part""",
+        "cdc_metrics": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_value_cents
+            FROM events GROUP BY event_type""",
+        "cdc_meta_snapshot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1""",
+        "doc_dedup_exact": f"""
+            WITH fps AS (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents),
+            g AS (SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+                  FROM fps GROUP BY fp)
+            SELECT f.doc_id, f.doc_id = g.keeper_id AS keep, g.group_size
+            FROM fps f JOIN g USING (fp)""",
+        "doc_text_stats": f"""
+            WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+            SELECT doc_id, len(toks) AS n_tokens,
+                   length(text) AS n_chars_computed,
+                   length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g')) AS n_punct,
+                   {sw_en} AS n_stopwords_en
+            FROM t""",
+        "doc_lang_id": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+              CASE WHEN {best} = 0 THEN 'und'
+                   WHEN {lang_scores['en']} = {best} THEN 'en'
+                   WHEN {lang_scores['de']} = {best} THEN 'de'
+                   WHEN {lang_scores['fr']} = {best} THEN 'fr'
+                   ELSE 'es' END AS lang_guess
+            FROM t""",
+        "doc_fingerprint": f"""
+            SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents""",
+        "doc_quality_score": f"""
+            WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+              (CASE WHEN len(toks) > 0
+                    THEN CAST(FLOOR({sw_en} * 1000.0 / len(toks)) AS BIGINT)
+                    ELSE 0 END)
+              + LEAST(len(toks), 50) * 10
+              - (length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g'))) * 5
+              AS score_milli
+            FROM t""",
+        "doc_ngram_jaccard": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                    list_distinct(CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                      ELSE [array_to_string(toks, ' ')] END) AS sh
+                  FROM t)
+            SELECT * FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(FLOOR(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1000.0 /
+                          (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))) AS BIGINT)
+                     AS jaccard_milli
+              FROM s a, s b WHERE a.doc_id < b.doc_id)
+            WHERE jaccard_milli >= 100""",
+        "doc_minhash_lsh": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                    list_distinct(CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                      ELSE [array_to_string(toks, ' ')] END) AS sh
+                  FROM t),
+            sig AS (SELECT doc_id, sh,
+                      list_transform(range(0, 16), i ->
+                        list_min(list_transform(sh, s2 ->
+                          ('0x' || substr(md5(s2 || '#' || i), 1, 15))::BIGINT))) AS sg
+                    FROM s),
+            banded AS (
+              SELECT doc_id, sh, band,
+                     md5(sg[band*4+1]::VARCHAR || ',' || sg[band*4+2]::VARCHAR || ',' ||
+                         sg[band*4+3]::VARCHAR || ',' || sg[band*4+4]::VARCHAR) AS bucket
+              FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.sh AS sh_a, b.sh AS sh_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+            SELECT * FROM (
+              SELECT doc_a, doc_b,
+                     CAST(FLOOR(len(list_filter(sh_a, x -> list_contains(sh_b, x))) * 1000.0 /
+                          (len(sh_a) + len(sh_b) - len(list_filter(sh_a, x -> list_contains(sh_b, x))))) AS BIGINT)
+                     AS jaccard_milli
+              FROM cand)
+            WHERE jaccard_milli >= 100""",
+        "doc_simhash": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            h AS (SELECT doc_id,
+                    list_transform(toks, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS th
+                  FROM t),
+            sim AS (SELECT doc_id,
+                      list_sum(list_transform(range(0, 32), b ->
+                        CASE WHEN list_sum(list_transform(th, hh ->
+                               CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                             THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sm
+                    FROM h),
+            banded AS (
+              SELECT doc_id, sm, band, (sm >> (band * 8)) & 255 AS bucket
+              FROM sim, (SELECT unnest(range(0, 4)) AS band)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.sm AS sm_a, b.sm AS sm_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, bit_count(xor(sm_a, sm_b)) AS hamming
+            FROM cand WHERE bit_count(xor(sm_a, sm_b)) <= 6""",
+        "emb_neardup": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT * FROM (
+              SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                CAST(FLOOR(
+                  list_sum(list_transform(range(1, len(a.embedding)+1),
+                           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                  (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                           i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+                   sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                           i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+                  * 1e6) AS BIGINT) AS cosine_micro
+              FROM e a, e b WHERE a.vec_id < b.vec_id)
+            WHERE cosine_micro >= 400000""",
+        "ann_topk_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                CAST(FLOOR(
+                  list_sum(list_transform(range(1, len(qv)+1),
+                           i -> qv[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+                  (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+                           i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+                   sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+                           i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))
+                  * 1e6) AS BIGINT) AS cosine_micro
+              FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, rank, cosine_micro FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_micro DESC, neighbor_id) AS rank
+              FROM scored) WHERE rank <= 5""",
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
+                   SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "tpch_revenue_by_nation": """
+            SELECT n_name,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        # ann_topk_lsh / ann_topk_ivf / mm_media_features: approximate or
+        # non-SQL plumbing — intentionally no oracle (driver rows-only check)
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the real CDC engine applied over the sf0.001 derived log."""
+    return _q_cdc_final_state(spark, "/root/testdata/sf0.001")

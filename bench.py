@@ -1,0 +1,120 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": <sf>,
+ "cdc": {"n_events": N, "events_per_sec": X, ...}}
+
+Headline: CDC apply throughput — a synthetic transcript changelog sized to
+the SF dir is drained through the real streaming engine (micro-batched
+dedup+MERGE into a SnapshotTable), the north-rule metric. Plus wall times
+for representative queries() entries at $SPARK_GRAFT_SF_DIR.
+
+env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), CDC_BENCH_EVENTS (override size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "cdc_final_state",
+    "cdc_last_writer",
+    "cdc_lineage",
+    "doc_dedup_exact",
+    "doc_minhash_lsh",
+    "doc_text_stats",
+    "emb_neardup",
+    "ann_topk_bruteforce",
+    "tpch_pricing_summary",
+    "tpch_revenue_by_nation",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from milvus_cdc_spark.session import get_spark
+    from milvus_cdc_spark.sources import generate_changelog, write_changelog
+    from milvus_cdc_spark.streaming.engine import run_until_drained
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t_all = time.time()
+
+    # ---- CDC apply throughput (headline) --------------------------------
+    n_events = int(os.environ.get("CDC_BENCH_EVENTS", "0")) or max(
+        200_000, int(2_000_000 * sf * 10) if sf > 0 else 200_000
+    )
+    work = tempfile.mkdtemp(prefix="cdc_bench_")
+    log_dir = os.path.join(work, "log")
+    t0 = time.time()
+    write_changelog(
+        generate_changelog(
+            spark, n_events, n_parts=32, n_convs=max(200, n_events // 500),
+            turns_per_conv=50,
+        ),
+        log_dir,
+        n_files=16,
+    )
+    gen_sec = time.time() - t0
+
+    t0 = time.time()
+    task = run_until_drained(
+        spark,
+        log_dir,
+        os.path.join(work, "table"),
+        os.path.join(work, "ckpt"),
+        max_files_per_trigger=8,
+        n_buckets=16,
+    )
+    apply_sec = time.time() - t0
+    n_epochs = len(task.table.current().epochs)
+    final_rows = task.table.read(spark).count()
+    shutil.rmtree(work, ignore_errors=True)
+
+    # ---- representative queries ------------------------------------------
+    queries = entrymod.queries()
+    q_times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        q_times[name] = round(time.time() - t0, 3)
+
+    total = time.time() - t_all
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_apply_plus_queries_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": q_times,
+                "sf": sf,
+                "cdc": {
+                    "n_events": n_events,
+                    "gen_sec": round(gen_sec, 3),
+                    "apply_sec": round(apply_sec, 3),
+                    "events_per_sec": round(n_events / apply_sec, 1),
+                    "n_epochs": n_epochs,
+                    "final_rows": final_rows,
+                    "cpus": cpus,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from milvus_cdc_spark.functions import text, vectors
+
+__all__ = ["text", "vectors"]

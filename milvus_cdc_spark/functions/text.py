@@ -1,0 +1,178 @@
+"""Vectorized text-analysis columns for training-data pipelines.
+
+All pure `pyspark.sql.functions` compositions — JVM-side, whole-stage
+codegen, zero Python in the hot path. Each function returns a Column.
+
+Cross-engine determinism: ``portable_hash64`` is md5-based so a DuckDB
+oracle can reproduce the exact same 64-bit values
+(``('0x' || substr(md5(s),1,15))::bigint``) — used by the dedup family so
+its results are SQL-checkable, unlike engine-specific xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# frozen stopword lists for the language-ID heuristic (tiny n-gram/stopword
+# scorer; the fixed lists ARE the spec so the oracle can mirror them)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "en", "por", "que"],
+}
+
+
+def normalize(c: Column) -> Column:
+    """Lowercase + collapse whitespace — the canonical form for dedup."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(c: Column) -> Column:
+    """Lowercased alphanumeric tokens (empty strings filtered)."""
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def char_count(c: Column) -> Column:
+    return F.length(c)
+
+
+def punct_count(c: Column) -> Column:
+    """Count of punctuation chars [,.!?;:]."""
+    return F.length(c) - F.length(F.regexp_replace(c, r"[,.!?;:]", ""))
+
+
+def stopword_count(c: Column, lang: str = "en") -> Column:
+    toks = tokens(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def quality_score_milli(c: Column) -> Column:
+    """Integer quality score x1000: stopword ratio + length band + punct.
+
+    Integer-valued on purpose: floats hash differently across engines.
+    score = 1000 * stopword_hits / tokens + 10 * clamp(tokens, 0, 50)
+            - 5 * punct_count, floor-divided arithmetic only.
+    """
+    tc = token_count(c)
+    sw = stopword_count(c, "en")
+    band = F.least(tc, F.lit(50))
+    return (
+        F.when(tc > 0, F.floor(sw * 1000 / tc)).otherwise(F.lit(0)).cast("bigint")
+        + band.cast("bigint") * 10
+        - punct_count(c).cast("bigint") * 5
+    )
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-voting language guess over the frozen lists (ties → 'und').
+
+    The reference has no text ops; this is the training-pipeline n-gram
+    heuristic required by the build brief, spec'd exactly for the oracle.
+    """
+    toks = tokens(c)
+
+    def _score(sw: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in sw])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: _score(sw) for lang, sw in STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic priority order on ties: en > de > fr > es handled by
+    # checking in reverse priority so earlier langs overwrite later ones
+    for lang in ["es", "fr", "de", "en"]:
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (stable everywhere)."""
+    return F.md5(normalize(c))
+
+
+def portable_hash64(c: Column) -> Column:
+    """Deterministic 60-bit integer hash reproducible in ANSI SQL / DuckDB."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles from an ALREADY-MATERIALIZED token array column.
+
+    IMPORTANT: pass an attribute reference (a column that physically exists
+    on the row, e.g. via a persisted projection), NOT ``tokens(text)``
+    inline — Catalyst has no common-subexpression elimination across
+    nested lambdas, so an inline expression would re-run the regex split
+    for every element_at (measured 25x slowdown at 5k docs).
+    """
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)])
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles(c: Column, k: int = 3) -> Column:
+    """Word k-shingles of the text. Convenience form — fine for one-shot
+    expressions; for pipelines use shingles_from_tokens on a staged column."""
+    return shingles_from_tokens(tokens(c), k)
+
+
+def minhash_from_shingles(sh: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature from a MATERIALIZED shingle-array column (see
+    shingles_from_tokens note): per hash i, min over shingles of
+    h(shingle||'#'||i)."""
+
+    def _min_hash(i: int) -> Column:
+        suffix = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(s, suffix)), 1, 15), 16, 10
+                ).cast("bigint"),
+            )
+        )
+
+    return F.array(*[_min_hash(i) for i in range(n_hashes)])
+
+
+def minhash_signature(c: Column, n_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature of raw text (one-shot convenience form)."""
+    return minhash_from_shingles(shingles(c, k), n_hashes)
+
+
+def simhash_from_hashes(th: Column, bits: int = 32) -> Column:
+    """SimHash from a MATERIALIZED token-hash array column: bit b set iff
+    sum over tokens of (+1 if bit b of h else -1) > 0."""
+    out = F.lit(0).cast("bigint")
+
+    def _vote(b: int) -> Column:
+        return F.aggregate(
+            th,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    for b in range(bits):
+        out = out + F.when(_vote(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def simhash64(c: Column, bits: int = 32) -> Column:
+    """SimHash of raw text (one-shot convenience form; 32 bits keeps the
+    oracle SQL tractable and fits a bigint)."""
+    return simhash_from_hashes(
+        F.transform(tokens(c), lambda t: portable_hash64(t)), bits
+    )

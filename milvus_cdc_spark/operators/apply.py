@@ -151,10 +151,23 @@ def apply_batch(
     if table.committed_epoch(epoch):
         return {"epoch": epoch, "skipped": True}
     m = table.current()
+    timings: dict[str, float] = {}
+
+    def _mark(key: str, t_prev: float) -> float:
+        now = time.time()
+        timings[key] = round(now - t_prev, 3)
+        return now
+
+    # normalize event time (parquet NTZ vs session-TZ timestamps)
+    batch_df = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # one materialization serves the DDL split, lineage pass, dedup and merge
+    batch_df = batch_df.persist()
+    tp = _mark("setup", t0)
 
     # ---- 1. DDL split (tiny; driver-side like the reference's API-event path)
     ddl_rows = batch_df.filter(F.col("op").isin(*S.DDL_OPS)).collect()
     adds, renames, new_drops = _parse_ddl(ddl_rows)
+    tp = _mark("ddl_split", tp)
 
     physical_cols = [c for c, _ in m.columns]
     evolved_payload = [
@@ -179,6 +192,7 @@ def apply_batch(
     n_delete = sum(r["n_delete"] for r in per_part)
     n_ddl = sum(r["n_ddl"] for r in per_part)
     n_events = n_insert + n_delete + n_ddl
+    tp = _mark("lineage_agg", tp)
 
     # ---- 3. dedup to surviving actions
     dml = batch_df.filter(F.col("op").isin(*S.DML_OPS))
@@ -200,10 +214,11 @@ def apply_batch(
     nb = m.n_buckets
     actions = actions.withColumn(
         "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
-    )
+    ).persist()  # reused: bucket discovery + merge join (dedup agg runs once)
 
     # touched buckets → scan only those target files (manifest pruning)
     touched = [r["_bucket"] for r in actions.select("_bucket").distinct().collect()]
+    tp = _mark("dedup_touched", tp)
 
     replaced: dict[int, list[str]] = {}
     n_keys = 0
@@ -257,7 +272,7 @@ def apply_batch(
             ],
             alive.alias("alive"),
             F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int").alias("_bucket"),
-        )
+        ).persist()  # reused by the file write and the stats pass
 
         out_dir_rel = os.path.join("data", f"e{epoch}")
         out_dir = os.path.join(table.root, out_dir_rel)
@@ -272,6 +287,7 @@ def apply_batch(
             .partitionBy("bucket")
             .parquet(out_dir)
         )
+        tp = _mark("merge_write", tp)
         replaced = {b: [] for b in touched}
         for b in touched:
             bdir = os.path.join(out_dir, f"bucket={b}")
@@ -285,28 +301,55 @@ def apply_batch(
             F.sum(F.col("alive").cast("long")).alias("k"), F.max("ts").alias("mt")
         ).collect()[0]
         n_keys, max_ts = stats["k"] or 0, stats["mt"]
+        merged.unpersist()
+        tp = _mark("stats", tp)
+    actions.unpersist()
 
     snap_id = table._snapshot_id(epoch)
 
-    # ---- 4. lineage + metrics (deterministic rows; appended before the
-    # commit, deduped on read — a replay rewrites identical rows)
+    # ---- 4. lineage + metrics: driver-side pyarrow writes (the rows are
+    # already on the driver — no Spark job). Per-epoch file names make a
+    # crash-replay overwrite the identical file: idempotent by construction.
     if write_lineage:
-        lineage_rows = [
-            (epoch, r["part"], r["start_lsn"], r["end_lsn"],
-             r["n_insert"], r["n_delete"], r["n_ddl"], snap_id)
-            for r in per_part
-        ]
-        if lineage_rows:
-            spark.createDataFrame(lineage_rows, S.LINEAGE_SCHEMA).coalesce(1).write.mode(
-                "append"
-            ).parquet(os.path.join(table.root, "lineage"))
-        metrics_row = [
-            (epoch, n_events, n_insert, n_delete, n_ddl, n_keys, max_ts,
-             time.time() - t0, snap_id)
-        ]
-        spark.createDataFrame(metrics_row, S.METRICS_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(os.path.join(table.root, "metrics"))
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        lin_dir = os.path.join(table.root, "lineage")
+        os.makedirs(lin_dir, exist_ok=True)
+        if per_part:
+            pq.write_table(
+                pa.table(
+                    {
+                        "epoch": pa.array([epoch] * len(per_part), pa.int64()),
+                        "part": pa.array([r["part"] for r in per_part], pa.int32()),
+                        "start_lsn": pa.array([r["start_lsn"] for r in per_part], pa.int64()),
+                        "end_lsn": pa.array([r["end_lsn"] for r in per_part], pa.int64()),
+                        "n_insert": pa.array([r["n_insert"] for r in per_part], pa.int64()),
+                        "n_delete": pa.array([r["n_delete"] for r in per_part], pa.int64()),
+                        "n_ddl": pa.array([r["n_ddl"] for r in per_part], pa.int64()),
+                        "snapshot_id": pa.array([snap_id] * len(per_part), pa.string()),
+                    }
+                ),
+                os.path.join(lin_dir, f"epoch-{epoch}.parquet"),
+            )
+        met_dir = os.path.join(table.root, "metrics")
+        os.makedirs(met_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "epoch": pa.array([epoch], pa.int64()),
+                    "n_events": pa.array([n_events], pa.int64()),
+                    "n_insert": pa.array([n_insert], pa.int64()),
+                    "n_delete": pa.array([n_delete], pa.int64()),
+                    "n_ddl": pa.array([n_ddl], pa.int64()),
+                    "n_keys": pa.array([n_keys], pa.int64()),
+                    "max_ts": pa.array([max_ts], pa.timestamp("us")),
+                    "apply_sec": pa.array([time.time() - t0], pa.float64()),
+                    "snapshot_id": pa.array([snap_id], pa.string()),
+                }
+            ),
+            os.path.join(met_dir, f"epoch-{epoch}.parquet"),
+        )
 
     # ---- 5. atomic snapshot commit (exactly-once gate)
     table.commit(
@@ -317,6 +360,7 @@ def apply_batch(
         drop_watermarks=new_drops,
         summary_delta={"last_epoch": epoch, "events_applied": n_events},
     )
+    batch_df.unpersist()
     return {
         "epoch": epoch,
         "skipped": False,
@@ -328,6 +372,7 @@ def apply_batch(
         "touched_buckets": sorted(touched),
         "snapshot_id": snap_id,
         "apply_sec": time.time() - t0,
+        "timings": timings,
     }
 
 

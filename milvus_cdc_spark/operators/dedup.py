@@ -1,0 +1,241 @@
+"""Document deduplication family for training-data pipelines.
+
+Four strategies with different scale profiles, all DataFrame-native:
+
+- exact        one hash-aggregate; the 100 TB workhorse (shuffle on an
+               md5 group key, map-side combine)
+- minhash_lsh  shingle → minhash signature → band buckets → candidate
+               pairs via bucket self-join → exact-jaccard verify. The
+               self-join touches only same-bucket pairs: at scale the
+               shuffle is on band-hash keys, never the O(n²) cross join.
+- simhash      32-bit simhash, candidates = identical band of the hash
+               (hamming-ball via 4x8-bit bands), verify by hamming dist.
+- ngram_jaccard  brute-force pairwise verify — quadratic; kept as the
+               correctness baseline and for small partitions only.
+
+Hashing is md5-based (functions.text.portable_hash64) so every strategy
+is reproducible in ANSI SQL for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.functions import text as TXT
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keeper per exact (normalized) text group: min id. Returns
+    (doc_id, keep) for every doc — keep=false marks removable dups."""
+    fp = TXT.fingerprint(F.col(text_col))
+    keeper = df.select(F.col(id_col), fp.alias("fp")).groupBy("fp").agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("group_size")
+    )
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .join(keeper, "fp")
+        .select(
+            F.col(id_col),
+            (F.col(id_col) == F.col("keeper_id")).alias("keep"),
+            F.col("group_size"),
+        )
+    )
+
+
+def _shingle_df(df: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, sh) with tokens and shingles STAGED through persisted
+    projections — each stage reads the previous as a plain attribute, so
+    the regex split and shingle assembly run exactly once per row (see
+    functions.text.shingles_from_tokens for why inlining is 25x slower)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), TXT.tokens(F.col(text_col)).alias("toks")
+    ).persist()
+    return toks.select(
+        "id", F.array_distinct(TXT.shingles_from_tokens(F.col("toks"), k)).alias("sh")
+    ).persist()
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    threshold_milli: int = 500,
+    k: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard over ALL pairs (quadratic — baseline only).
+
+    Output: (doc_a, doc_b, jaccard_milli) for pairs with jaccard*1000 >=
+    threshold, a < b. Integer jaccard_milli keeps the oracle float-free.
+    """
+    sh = _shingle_df(df, k, text_col, id_col)
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = (inter * 1000 / union).cast("bigint")
+    return (
+        pairs.select(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+            jac.alias("jaccard_milli"),
+        )
+        .filter(F.col("jaccard_milli") >= threshold_milli)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold_milli: int = 500,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified by exact jaccard.
+
+    Candidate generation: signature split into ``bands`` bands of
+    ``n_hashes/bands`` rows; docs sharing any band bucket are candidates.
+    The self-join keys on (band_idx, band_hash) — the only shuffle that
+    matters at scale; no O(n²) stage. Verification recomputes exact
+    shingle jaccard on candidates only.
+    """
+    rows_per_band = n_hashes // bands
+    # staged + persisted: each level reads attributes, never re-inlined
+    # expressions (tokens/shingles/signature each computed once per row)
+    base = _shingle_df(df, k, text_col, id_col).select(
+        "id", "sh", TXT.minhash_from_shingles(F.col("sh"), n_hashes).alias("sig")
+    ).persist()
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig").getItem(bi * rows_per_band + r)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = (inter * 1000 / union).cast("bigint")
+    return cand.select(
+        "doc_a", "doc_b", jac.alias("jaccard_milli")
+    ).filter(F.col("jaccard_milli") >= threshold_milli)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share >=1 of ``bands`` hash bands
+    (pigeonhole: hamming<=bands-1 guarantees a shared band), verified by
+    exact hamming distance <= max_hamming."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    th = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(TXT.tokens(F.col(text_col)), lambda t: TXT.portable_hash64(t)).alias("th"),
+    ).persist()
+    base = th.select(
+        "id", TXT.simhash_from_hashes(F.col("th"), bits).alias("sim")
+    ).persist()  # staged: token hashes computed once, then 32 bit-votes read them
+    banded = base.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("sim"), bi * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sim", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"), F.col("b.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold_micro: int = 950000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine*1e6 >= threshold, a<b).
+
+    Brute-force O(n²) verify — correctness baseline; the scale path is
+    operators/similarity.py's LSH-bucketed variant.
+    """
+    from milvus_cdc_spark.functions.vectors import dot, norm
+
+    # norms computed ONCE per row (cached), not per pair — turns the O(n²)
+    # stage from 3 vector reductions per pair into 1
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ).persist()
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cm = F.floor(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")) * 1e6).cast("bigint")
+    return (
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+            cm.alias("cosine_micro"),
+        )
+        .filter(F.col("cosine_micro") >= threshold_micro)
+    )

@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k. The join is
+  queries x corpus; with a small query set Spark broadcasts it and the
+  scan streams the corpus once — the right exact plan at any corpus size.
+- ``lsh_topk``: sign-random-projection LSH. Corpus and queries are
+  bucketed by ``n_planes`` hyperplane sign bits (deterministic md5-seeded
+  planes); candidates = same bucket (multi-probe: exact bucket plus all
+  1-bit-flip neighbors), then exact cosine rank within candidates. At
+  scale the shuffle keys on bucket ids — never O(n·m).
+- ``ivf_topk``: IVF-style two-stage search with k-means-free centroids
+  (deterministic hash-sampled corpus rows as centroids): assign corpus
+  to nearest centroid (nprobe=1 build), probe the ``nprobe`` nearest
+  centroids per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.functions.vectors import cosine_milli, dot
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, neighbor_id, rank, cosine_micro).
+
+    Self-matches excluded. Ties broken by neighbor id — fully
+    deterministic output (integers only), so SQL-oracle-checkable.
+    """
+    from milvus_cdc_spark.functions.vectors import dot, norm
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")) * 1e6)
+            .cast("bigint")
+            .alias("cosine_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_micro")
+    )
+
+
+def _plane(dim: int, p: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{p}:{j}".encode()).hexdigest()[:15], 16)
+    return (h % 2000003) / 1000001.5 - 1.0
+
+
+def _bucket_expr(vec_col, dim: int, n_planes: int):
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(_plane(dim, p, j)) for j in range(dim)])
+        bits.append(
+            F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        )
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank within same-or-adjacent LSH bucket."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _bucket_expr(vec_col, dim, n_planes).alias("bucket"),
+    )
+    # multi-probe: query probes its bucket and every 1-bit-flip neighbor
+    probes = F.array(
+        F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _bucket_expr(vec_col, dim, n_planes).alias("qb"),
+        )
+        .select("query_id", "qv", F.explode(probes).alias("bucket"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_milli(F.col("qv"), F.col("cv")).alias("cosine_micro"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_micro")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: centroids = deterministic corpus sample; corpus rows
+    assigned to nearest centroid; each query probes ``nprobe`` centroids."""
+    cent = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .filter(F.pmod(F.xxhash64(F.col("cid")), F.lit(max(1, 997))) < n_centroids * 37)
+        .limit(n_centroids)
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # assign corpus rows to nearest centroid (broadcast centroids)
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("sim"), F.asc("cid")
+    )
+    assigned = (
+        c.join(F.broadcast(cent))
+        .select("neighbor_id", "cv", "cid", cosine_milli(F.col("cv"), F.col("cvec")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "cv", F.col("cid").alias("cell"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        F.broadcast(q)
+        .join(F.broadcast(cent))
+        .select("query_id", "qv", "cid", cosine_milli(F.col("qv"), F.col("cvec")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+    scored = probes.join(assigned, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_milli(F.col("qv"), F.col("cv")).alias("cosine_micro"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_micro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_micro")
+    )
