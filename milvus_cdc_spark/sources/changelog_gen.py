@@ -139,10 +139,17 @@ def write_changelog(df: DataFrame, path: str, n_files: int = 16) -> None:
     Range-partitioned by lsn so the file-stream source consumes the log
     roughly in order (the analogue of MQ seek order), though the apply
     path is correct under ANY batching (see operators/apply.py).
+
+    Row groups are capped at 4 MB: a parquet file is only splittable at
+    row-group boundaries, and a single-row-group file caps every
+    downstream scan's parallelism at one task per file no matter how many
+    cores the cluster has (measured: 8-file micro-batches pinned the whole
+    apply pipeline to 8 concurrent tasks on a 32-core runner).
     """
     (
         df.repartitionByRange(n_files, "lsn")
         .sortWithinPartitions("lsn")
         .write.mode("overwrite")
+        .option("parquet.block.size", str(4 * 1024 * 1024))
         .parquet(path)
     )

