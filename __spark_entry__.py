@@ -228,6 +228,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cdc_metrics"] = cdc_metrics
 
+    def cdc_window_hourly(spark, sf):  # O3 ts-alignment as windowed agg:
+        # the batch analogue of the streaming tumbling-window + watermark
+        # path (reference ts_manager min/max tick alignment,
+        # core/reader/ts_manager.go:103-194)
+        log = _derive_changelog(spark, sf)
+        return log.groupBy(
+            "part", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+        )
+    q["cdc_window_hourly"] = cdc_window_hourly
+
     def cdc_meta_snapshot(spark, sf):  # S1 bootstrap scan rollup
         return (
             _t(spark, sf, "events")
@@ -400,6 +414,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_events,
                    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_value_cents
             FROM events GROUP BY event_type""",
+        "cdc_window_hourly": f"""
+            WITH log AS ({_DERIVE_SQL})
+            SELECT part, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+                   MIN(lsn) AS min_lsn, MAX(lsn) AS max_lsn
+            FROM log GROUP BY part, date_trunc('hour', ts)""",
         "cdc_meta_snapshot": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
                    COUNT(DISTINCT user_id) AS n_users

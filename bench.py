@@ -57,7 +57,11 @@ def main() -> None:
     n_events = int(os.environ.get("CDC_BENCH_EVENTS", "0")) or max(
         200_000, int(2_000_000 * sf * 10) if sf > 0 else 200_000
     )
-    work = tempfile.mkdtemp(prefix="cdc_bench_")
+    # tmpfs when available: the sandbox's single virtual disk serializes
+    # parquet writes at any core count (a multi-node cluster's aggregate
+    # disk bandwidth scales with executors); see scripts/bench_scaling.py
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="cdc_bench_", dir=base)
     log_dir = os.path.join(work, "log")
     t0 = time.time()
     write_changelog(

@@ -69,8 +69,9 @@ def shingle_jaccard_pairs(
     threshold, a < b. Integer jaccard_milli keeps the oracle float-free.
     """
     sh = _shingle_df(df, k, text_col, id_col)
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    par = 2 * df.sparkSession.sparkContext.defaultParallelism
+    a, b = sh.repartition(par).alias("a"), sh.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
     jac = (inter * 1000 / union).cast("bigint")
@@ -228,9 +229,15 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nrm"),
     ).persist()
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    # the streamed side is spread across the cluster: embedding tables are
+    # often a single small file, and without this the whole O(n²) scoring
+    # loop runs as ONE task regardless of core count
+    par = 2 * df.sparkSession.sparkContext.defaultParallelism
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    ).repartition(par)
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     cm = F.floor(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")) * 1e6).cast("bigint")
     return (
         pairs.select(

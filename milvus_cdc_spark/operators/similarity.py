@@ -43,7 +43,9 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
-    )
+        # spread the streamed corpus: a single-file corpus would otherwise
+        # run the whole queries x corpus scoring loop as one task
+    ).repartition(2 * corpus.sparkSession.sparkContext.defaultParallelism)
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))

@@ -100,9 +100,12 @@ def _drain_main(cpus: int, work: str, tag: str) -> None:
         n_buckets=16,
     )
     def _jvm_cpu() -> tuple[float, float]:
-        """(utime, stime) seconds of every child java process — utilization
-        telemetry so wall-time noise is distinguishable from idle cores,
-        and kernel-contention storms (stime) from real compute (utime)."""
+        """(utime, stime) seconds of THIS process's java children —
+        utilization telemetry so wall-time noise is distinguishable from
+        idle cores, and kernel-contention storms (stime) from compute
+        (utime). Restricted by ppid so unrelated JVMs (e.g. the parent
+        bench's generator) can't skew the delta."""
+        me = os.getpid()
         u = s = 0.0
         for p in os.listdir("/proc"):
             if not p.isdigit():
@@ -113,6 +116,8 @@ def _drain_main(cpus: int, work: str, tag: str) -> None:
                         continue
                 with open(f"/proc/{p}/stat") as f:
                     st = f.read().rsplit(")", 1)[1].split()
+                if int(st[1]) != me:  # ppid
+                    continue
                 tck = os.sysconf("SC_CLK_TCK")
                 u += int(st[11]) / tck
                 s += int(st[12]) / tck
