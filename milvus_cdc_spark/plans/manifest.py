@@ -275,3 +275,100 @@ class SnapshotTable:
         )
         self._write_manifest(nm)
         return nm
+
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots) -----
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        drop_tombstones: bool = False,
+        files_per_bucket: int = 1,
+    ) -> Manifest:
+        """Rewrite every bucket into ``files_per_bucket`` files, physically
+        removing rows dead under a partition-drop watermark (clearing the
+        merge-on-read debt) — the analogue of Iceberg's
+        ``rewrite_data_files``. ``drop_tombstones=True`` additionally
+        removes delete tombstones: only safe once the changelog guarantees
+        no event older than the tombstones' (ts, lsn) can still arrive
+        (i.e. past the source's lag watermark)."""
+        m = self.current()
+        df = self.read(spark, manifest=m, logical=False)  # drops applied
+        if drop_tombstones:
+            df = df.filter(F.coalesce(F.col("alive"), F.lit(True)))
+        out_rel = f"data/compact-v{m.version}"
+        out_dir = os.path.join(self.root, out_rel)
+        (
+            df.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("conv_id"), F.lit(m.n_buckets)).cast("int"),
+            )
+            .repartition(m.n_buckets * files_per_bucket, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out_dir)
+        )
+        files: dict[str, list[str]] = {}
+        for b in range(m.n_buckets):
+            bdir = os.path.join(out_dir, f"bucket={b}")
+            if os.path.isdir(bdir):
+                rels = [
+                    os.path.join(out_rel, f"bucket={b}", f)
+                    for f in sorted(os.listdir(bdir))
+                    if f.endswith(".parquet")
+                ]
+                if rels:
+                    files[str(b)] = rels
+        nm = Manifest(
+            version=m.version + 1,
+            snapshot_id=self._snapshot_id(-(m.version + 1)),
+            n_buckets=m.n_buckets,
+            columns=[list(c) for c in m.columns],
+            renames=dict(m.renames),
+            drop_watermarks={},  # physically applied above
+            files=files,
+            epochs=dict(m.epochs),
+            added=list(m.added),
+            summary={**m.summary, "last_compaction_version": m.version},
+        )
+        self._write_manifest(nm)
+        return nm
+
+    def vacuum(self, keep_versions: int = 2) -> dict[str, int]:
+        """Delete data files unreferenced by the last ``keep_versions``
+        manifests, and expire older manifests — Iceberg's
+        ``expire_snapshots``. Keeping >1 version preserves short-horizon
+        time travel and in-flight readers."""
+        cur = self.current()
+        lo = max(0, cur.version - keep_versions + 1)
+        keep: set[str] = set()
+        for v in range(lo, cur.version + 1):
+            try:
+                mv = self.at_version(v)
+            except FileNotFoundError:
+                continue
+            for rels in mv.files.values():
+                keep.update(os.path.normpath(r) for r in rels)
+        deleted = freed = 0
+        for dirpath, _dirs, fnames in os.walk(self.data_dir, topdown=False):
+            for fn in fnames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.normpath(os.path.relpath(full, self.root))
+                if fn.endswith(".parquet") and rel not in keep:
+                    freed += os.path.getsize(full)
+                    os.remove(full)
+                    deleted += 1
+                elif fn.startswith(("_SUCCESS", "._")) or fn.endswith(".crc"):
+                    os.remove(full)
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        expired = 0
+        for v in range(lo):
+            p = os.path.join(self.meta_dir, f"v{v}.json")
+            if os.path.exists(p):
+                os.remove(p)
+                expired += 1
+        return {
+            "deleted_files": deleted,
+            "freed_bytes": freed,
+            "expired_manifests": expired,
+        }

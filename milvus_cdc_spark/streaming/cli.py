@@ -22,7 +22,9 @@ from milvus_cdc_spark.streaming.engine import CdcTask, run_until_drained
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="milvus_cdc_spark")
-    p.add_argument("command", choices=["create", "drain", "status", "tail"])
+    p.add_argument(
+        "command", choices=["create", "drain", "status", "tail", "compact", "vacuum"]
+    )
     p.add_argument("--log", required=True, help="changelog directory")
     p.add_argument("--table", required=True, help="target SnapshotTable root")
     p.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
@@ -54,6 +56,16 @@ def main(argv: list[str] | None = None) -> int:
     elif a.command == "status":
         task = CdcTask(spark, a.log, a.table, a.checkpoint, **kw)
         print(json.dumps(task.status()))
+    elif a.command == "compact":
+        from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+        m = SnapshotTable(a.table).compact(spark)
+        print(json.dumps({"version": m.version, "snapshot_id": m.snapshot_id,
+                          "n_files": sum(len(v) for v in m.files.values())}))
+    elif a.command == "vacuum":
+        from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+        print(json.dumps(SnapshotTable(a.table).vacuum()))
     return 0
 
 
