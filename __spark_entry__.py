@@ -228,6 +228,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cdc_metrics"] = cdc_metrics
 
+    def cdc_dropped_skip(spark, sf):  # F3 dropped-object skip: LEFT ANTI
+        # JOIN against the dropped-partitions dimension (reference skips
+        # events for dropped collections/partitions,
+        # replicate_channel_manager.go:1281-1305)
+        log = _derive_changelog(spark, sf)
+        dropped = spark.range(0, N_PARTS, 2).select(
+            F.col("id").cast("int").alias("part")
+        )  # deterministic: even partitions are dropped
+        return (
+            log.join(F.broadcast(dropped), on="part", how="left_anti")
+            .select("lsn", "part", "op", "conv_id")
+        )
+    q["cdc_dropped_skip"] = cdc_dropped_skip
+
+    def cdc_id_remap(spark, sf):  # F5 source→target ID remap as a
+        # broadcast-join projection (reference rewrites collection/
+        # partition ids per msg, replicate_channel_manager.go:1285-1317)
+        log = _derive_changelog(spark, sf)
+        mapping = spark.range(0, N_PARTS).select(
+            F.col("id").cast("int").alias("part"),
+            (F.lit(100) + F.pmod(F.col("id") * 7, F.lit(N_PARTS))).cast("int").alias(
+                "target_part"
+            ),
+        )
+        return (
+            log.join(F.broadcast(mapping), on="part")
+            .select("lsn", "conv_id", "part", "target_part")
+        )
+    q["cdc_id_remap"] = cdc_id_remap
+
     def cdc_window_hourly(spark, sf):  # O3 ts-alignment as windowed agg:
         # the batch analogue of the streaming tumbling-window + watermark
         # path (reference ts_manager min/max tick alignment,
@@ -414,6 +444,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_events,
                    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_value_cents
             FROM events GROUP BY event_type""",
+        "cdc_dropped_skip": f"""
+            WITH log AS ({_DERIVE_SQL})
+            SELECT lsn, part, op, conv_id FROM log
+            WHERE part NOT IN (SELECT unnest(range(0, {N_PARTS}, 2)))""",
+        "cdc_id_remap": f"""
+            WITH log AS ({_DERIVE_SQL}),
+            mapping AS (SELECT CAST(id AS INT) AS part,
+                               CAST(100 + (id * 7) % {N_PARTS} AS INT) AS target_part
+                        FROM (SELECT unnest(range(0, {N_PARTS})) AS id))
+            SELECT lsn, conv_id, part, target_part
+            FROM log JOIN mapping USING (part)""",
         "cdc_window_hourly": f"""
             WITH log AS ({_DERIVE_SQL})
             SELECT part, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
