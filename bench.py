@@ -54,8 +54,11 @@ def main() -> None:
     t_all = time.time()
 
     # ---- CDC apply throughput (headline) --------------------------------
+    # sized so the apply runs in the amortized regime (~10M events at
+    # sf0.1): small logs measure per-epoch fixed cost, not throughput —
+    # SCALING.json carries the full-size (48M) evidence
     n_events = int(os.environ.get("CDC_BENCH_EVENTS", "0")) or max(
-        200_000, int(2_000_000 * sf * 10) if sf > 0 else 200_000
+        200_000, int(100_000_000 * sf) if sf > 0 else 200_000
     )
     # tmpfs when available: the sandbox's single virtual disk serializes
     # parquet writes at any core count (a multi-node cluster's aggregate
