@@ -90,3 +90,30 @@ def test_apply_continues_after_maintenance(spark, tmp_path):
     t2.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
     apply_batch(spark, t2, log, epoch=0)
     assert _state(spark, t) == _state(spark, t2)
+
+
+def test_crash_replay_between_write_and_commit(spark, tmp_path):
+    """foreachBatch replay window (SURVEY §7.4): a crash AFTER the epoch's
+    data files are written but BEFORE the manifest commit must be healed
+    by re-running the same batch — same final state, no duplicate rows."""
+    n = 8000
+    log = generate_changelog(spark, n, n_parts=4, n_convs=40, turns_per_conv=8)
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    apply_batch(spark, t, log.filter(F.col("lsn") < n // 2), epoch=0)
+    v_before = t.current().version
+
+    apply_batch(spark, t, log.filter(F.col("lsn") >= n // 2), epoch=1)
+    reference = _state(spark, t)
+
+    # simulate the crash: epoch-1 data files exist on disk, but CURRENT
+    # still points at the pre-epoch-1 manifest
+    cur = os.path.join(t.meta_dir, "CURRENT")
+    with open(cur, "w") as f:
+        f.write(str(v_before))
+    assert not t.committed_epoch(1)
+
+    # streaming recovery re-runs the same batch under the same epoch id
+    apply_batch(spark, t, log.filter(F.col("lsn") >= n // 2), epoch=1)
+    assert t.committed_epoch(1)
+    assert _state(spark, t) == reference
