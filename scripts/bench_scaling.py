@@ -227,7 +227,9 @@ def main() -> None:
         "runs": runs,
     }
     print(json.dumps(out))
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+    # pair-specific artifact; SCALING.json (the combined headline) is
+    # maintained by hand from these
+    with open(os.path.join(REPO, f"SCALING_{args.lo}x{args.hi}.json"), "w") as f:
         json.dump(out, f, indent=2)
 
 
