@@ -272,6 +272,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cdc_window_hourly"] = cdc_window_hourly
 
+    def cdc_sessions_batch(spark, sf):  # batch twin of the stateful
+        # streaming sessionizer (streaming/sessionize.py): gap-split
+        # sessions via lag + running sum — same semantics, SQL-checkable
+        from pyspark.sql import Window
+
+        log = _derive_changelog(spark, sf)
+        w = Window.partitionBy("conv_id").orderBy("ts", "lsn")
+        ep = F.unix_timestamp(F.col("ts").cast("timestamp"))
+        gap_break = F.when(ep - F.lag(ep).over(w) > 600, 1).otherwise(0)
+        sess = log.withColumn(
+            "session_no",
+            F.sum(gap_break).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        return sess.groupBy("conv_id", "session_no").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    q["cdc_sessions_batch"] = cdc_sessions_batch
+
     def cdc_meta_snapshot(spark, sf):  # S1 bootstrap scan rollup
         return (
             _t(spark, sf, "events")
@@ -460,6 +482,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT part, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
                    MIN(lsn) AS min_lsn, MAX(lsn) AS max_lsn
             FROM log GROUP BY part, date_trunc('hour', ts)""",
+        "cdc_sessions_batch": f"""
+            WITH log AS ({_DERIVE_SQL}),
+            g AS (SELECT conv_id, ts, lsn,
+                    CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                           (PARTITION BY conv_id ORDER BY ts, lsn) > 600
+                         THEN 1 ELSE 0 END AS brk
+                  FROM log),
+            s AS (SELECT conv_id, ts,
+                    SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts, lsn
+                       ROWS UNBOUNDED PRECEDING) AS session_no
+                  FROM g)
+            SELECT conv_id, session_no, MIN(ts) AS session_start,
+                   MAX(ts) AS session_end, COUNT(*) AS n_events
+            FROM s GROUP BY conv_id, session_no""",
         "cdc_meta_snapshot": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
                    COUNT(DISTINCT user_id) AS n_users
