@@ -485,7 +485,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_sessions_batch": f"""
             WITH log AS ({_DERIVE_SQL}),
             g AS (SELECT conv_id, ts, lsn,
-                    CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                    -- FLOOR matches Spark's unix_timestamp() second
+                    -- truncation exactly; fractional epochs would split
+                    -- sessions differently for gaps in (600, 601)
+                    CASE WHEN FLOOR(epoch(ts)) - LAG(FLOOR(epoch(ts))) OVER
                            (PARTITION BY conv_id ORDER BY ts, lsn) > 600
                          THEN 1 ELSE 0 END AS brk
                   FROM log),

@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 
 from milvus_cdc_spark.functions import text as TXT
 
+# pairwise baselines broadcast the corpus side only below this row count —
+# above it the 8GB broadcast limit / driver memory becomes the failure mode
+_BROADCAST_ROW_CAP = 200_000
+
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keeper per exact (normalized) text group: min id. Returns
@@ -71,7 +75,12 @@ def shingle_jaccard_pairs(
     sh = _shingle_df(df, k, text_col, id_col)
     par = 2 * df.sparkSession.sparkContext.defaultParallelism
     a, b = sh.repartition(par).alias("a"), sh.alias("b")
-    pairs = a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
+    # broadcast only when the build side is safely small — this operator is
+    # the quadratic correctness baseline, but it must not OOM the driver
+    # when someone points it at a large corpus (the repartitioned stream
+    # side alone already fixes single-file-input parallelism)
+    b_side = F.broadcast(b) if sh.count() <= _BROADCAST_ROW_CAP else b
+    pairs = a.join(b_side, F.col("a.id") < F.col("b.id"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
     jac = (inter * 1000 / union).cast("bigint")
@@ -237,7 +246,8 @@ def embedding_neardup_pairs(
         F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
     ).repartition(par)
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    b_side = F.broadcast(b) if base.count() <= _BROADCAST_ROW_CAP else b
+    pairs = a.join(b_side, F.col("id_a") < F.col("id_b"))
     cm = F.floor(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")) * 1e6).cast("bigint")
     return (
         pairs.select(

@@ -282,15 +282,21 @@ class SnapshotTable:
         spark: SparkSession,
         *,
         drop_tombstones: bool = False,
+        clear_drop_watermarks: bool = False,
         files_per_bucket: int = 1,
     ) -> Manifest:
         """Rewrite every bucket into ``files_per_bucket`` files, physically
         removing rows dead under a partition-drop watermark (clearing the
-        merge-on-read debt) — the analogue of Iceberg's
-        ``rewrite_data_files``. ``drop_tombstones=True`` additionally
-        removes delete tombstones: only safe once the changelog guarantees
-        no event older than the tombstones' (ts, lsn) can still arrive
-        (i.e. past the source's lag watermark)."""
+        merge-on-read read cost) — the analogue of Iceberg's
+        ``rewrite_data_files``.
+
+        Drop WATERMARKS are RETAINED by default even though the stored rows
+        they killed are physically gone: apply_batch still needs them to
+        defeat late-arriving DML older than the drop (the engine's
+        any-batch-order convergence invariant). ``clear_drop_watermarks=
+        True`` — like ``drop_tombstones=True`` for delete tombstones — is
+        only safe once the changelog guarantees no event older than the
+        watermark can still arrive (past the source's lag watermark)."""
         m = self.current()
         df = self.read(spark, manifest=m, logical=False)  # drops applied
         if drop_tombstones:
@@ -302,7 +308,15 @@ class SnapshotTable:
                 "bucket",
                 F.pmod(F.xxhash64("conv_id"), F.lit(m.n_buckets)).cast("int"),
             )
-            .repartition(m.n_buckets * files_per_bucket, "bucket")
+            # salt beyond the bucket key — hash-partitioning on bucket alone
+            # would land each bucket in ONE task no matter the partition
+            # count (same fix as the merge write in operators/apply.py)
+            .withColumn(
+                "_csalt",
+                F.pmod(F.xxhash64("conv_id", F.lit(13)), F.lit(files_per_bucket)),
+            )
+            .repartition(m.n_buckets * files_per_bucket, "bucket", "_csalt")
+            .drop("_csalt")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(out_dir)
@@ -324,7 +338,7 @@ class SnapshotTable:
             n_buckets=m.n_buckets,
             columns=[list(c) for c in m.columns],
             renames=dict(m.renames),
-            drop_watermarks={},  # physically applied above
+            drop_watermarks={} if clear_drop_watermarks else dict(m.drop_watermarks),
             files=files,
             epochs=dict(m.epochs),
             added=list(m.added),
@@ -333,11 +347,22 @@ class SnapshotTable:
         self._write_manifest(nm)
         return nm
 
-    def vacuum(self, keep_versions: int = 2) -> dict[str, int]:
+    def vacuum(
+        self, keep_versions: int = 2, min_age_sec: float = 3600.0
+    ) -> dict[str, int]:
         """Delete data files unreferenced by the last ``keep_versions``
         manifests, and expire older manifests — Iceberg's
         ``expire_snapshots``. Keeping >1 version preserves short-horizon
-        time travel and in-flight readers."""
+        time travel and in-flight readers.
+
+        ``min_age_sec`` protects the write-then-commit window: an epoch's
+        data files land on disk BEFORE its manifest commit (see
+        operators/apply.py), so a file younger than the threshold may
+        belong to an in-flight batch and is never touched — the same
+        reason Iceberg's orphan-file removal has an age cutoff."""
+        import time as _time
+
+        now = _time.time()
         cur = self.current()
         lo = max(0, cur.version - keep_versions + 1)
         keep: set[str] = set()
@@ -354,6 +379,8 @@ class SnapshotTable:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.normpath(os.path.relpath(full, self.root))
                 if fn.endswith(".parquet") and rel not in keep:
+                    if now - os.path.getmtime(full) < min_age_sec:
+                        continue  # possibly an in-flight uncommitted epoch
                     freed += os.path.getsize(full)
                     os.remove(full)
                     deleted += 1

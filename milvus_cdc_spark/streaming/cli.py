@@ -25,15 +25,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "command", choices=["create", "drain", "status", "tail", "compact", "vacuum"]
     )
-    p.add_argument("--log", required=True, help="changelog directory")
+    p.add_argument("--log", help="changelog directory (task commands)")
     p.add_argument("--table", required=True, help="target SnapshotTable root")
-    p.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
+    p.add_argument("--checkpoint", help="streaming checkpoint dir (task commands)")
     p.add_argument("--master", default=None)
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--salt", type=int, default=None)
     p.add_argument("--n-buckets", type=int, default=16)
     p.add_argument("--duration-sec", type=float, default=60.0, help="tail runtime")
     a = p.parse_args(argv)
+
+    if a.command == "vacuum":
+        # pure filesystem maintenance — no Spark session needed
+        from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+        print(json.dumps(SnapshotTable(a.table).vacuum()))
+        return 0
+    if a.command in ("create", "drain", "status", "tail") and not (
+        a.log and a.checkpoint
+    ):
+        p.error(f"--log and --checkpoint are required for '{a.command}'")
 
     spark = get_spark("milvus_cdc_spark_cli", master=a.master)
     kw = dict(
@@ -62,10 +73,6 @@ def main(argv: list[str] | None = None) -> int:
         m = SnapshotTable(a.table).compact(spark)
         print(json.dumps({"version": m.version, "snapshot_id": m.snapshot_id,
                           "n_files": sum(len(v) for v in m.files.values())}))
-    elif a.command == "vacuum":
-        from milvus_cdc_spark.plans.manifest import SnapshotTable
-
-        print(json.dumps(SnapshotTable(a.table).vacuum()))
     return 0
 
 

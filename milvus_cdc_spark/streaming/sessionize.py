@@ -91,15 +91,25 @@ def _session_fn(gap_seconds: int):
         breaks = (ts.diff() > gap_us).cumsum().fillna(0)
         runs = ts.groupby(breaks).agg(["min", "max", "count"])
 
+        # sweep-merge the batch's runs TOGETHER WITH the stored session as
+        # intervals sorted by start: a late (above-watermark) run that
+        # precedes the open session must satisfy the gap rule on BOTH
+        # sides — naively gluing anything with lo <= session_end + gap
+        # would merge arbitrarily-old late data into the session
+        intervals = [
+            [int(r["min"]), int(r["max"]), int(r["count"])]
+            for _, r in runs.iterrows()
+        ]
+        if state.exists:
+            intervals.append(list(state.get))
+        intervals.sort()
         out = []
-        cur = list(state.get) if state.exists else None
-        for _, r in runs.iterrows():
-            lo, hi, n = int(r["min"]), int(r["max"]), int(r["count"])
-            if cur is not None and lo - cur[1] <= gap_us:
-                cur = [min(cur[0], lo), max(cur[1], hi), cur[2] + n]
+        cur = intervals[0]
+        for lo, hi, n in intervals[1:]:
+            if lo - cur[1] <= gap_us:
+                cur = [cur[0], max(cur[1], hi), cur[2] + n]
             else:
-                if cur is not None:
-                    out.append(row(cur[0], cur[1], cur[2], "gap"))
+                out.append(row(cur[0], cur[1], cur[2], "gap"))
                 cur = [lo, hi, n]
         state.update((cur[0], cur[1], cur[2]))
         # close by timeout once the watermark passes end + gap

@@ -17,7 +17,8 @@ and local[32] write identical wall time to /dev/vda). A real cluster's
 aggregate disk bandwidth scales with executor count; tmpfs restores that
 property locally. Override with SCALING_WORK_DIR.
 
-Prints ONE JSON line and writes SCALING.json at the repo root.
+Prints ONE JSON line and writes SCALING_{lo}x{hi}.json at the repo root
+(SCALING.json, the combined headline artifact, is maintained from these).
 
 Usage: python scripts/bench_scaling.py [--events 24000000] [--reps 2]
        [--lo 8] [--hi 32]

@@ -36,31 +36,11 @@ def test_two_tasks_drain_concurrently(spark, tmp_path):
     for t in tasks:
         assert t.wait_drained(300)
 
-    from pyspark.sql import Window
+    from milvus_cdc_spark.oracle import replay
 
     for i, (_path, log) in logs.items():
-        w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-            F.desc("ts"),
-            F.desc(F.when(F.col("op") == "DELETE", 0).otherwise(2)),
-            F.desc("lsn"),
-        )
-        dml = log.filter(F.col("op").isin("INSERT", "UPSERT", "DELETE"))
-        exp_df = (
-            dml.withColumn("rn", F.row_number().over(w))
-            .filter((F.col("rn") == 1) & (F.col("op") != "DELETE"))
-        )
-        # drop-partition watermarks from the log
-        drops = {
-            int(__import__("json").loads(r["ddl_arg"])["part"]): r["ts"]
-            for r in log.filter(F.col("op") == "DROP_PARTITION").collect()
-        }
-        for part, ts in drops.items():
-            exp_df = exp_df.filter(
-                ~((F.col("part") == part) & (F.col("ts") < F.lit(ts)))
-            )
-        exp = {
-            (r["conv_id"], r["turn_idx"]): r["text"] for r in exp_df.collect()
-        }
+        exp_rows, _cols = replay([r.asDict() for r in log.collect()])
+        exp = {(r["conv_id"], r["turn_idx"]): r["text"] for r in exp_rows}
         got = {
             (r["conv_id"], r["turn_idx"]): r["text"]
             for r in tasks[i].table.read(spark).collect()

@@ -20,10 +20,6 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _optimized(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
 def test_dedup_uses_hash_aggregate_not_sort(spark):
     log = generate_changelog(spark, 2000, n_parts=4, n_convs=20, turns_per_conv=5)
     dml = log.filter(F.col("op").isin(*S.DML_OPS))
@@ -56,7 +52,7 @@ def test_changelog_filter_pushes_down_to_parquet(spark, tmp_path):
         n_files=2,
     )
     df = spark.read.parquet(path).filter(F.col("op") == "INSERT").select("lsn", "op")
-    plan = _optimized(df)
+    plan = _plan(df)
     assert "PushedFilters: [" in plan and "op" in plan.split("PushedFilters")[1][:80], (
         "op filter not pushed to the parquet scan"
     )
