@@ -8,15 +8,13 @@ declarative Spark stages instead of a goroutine graph:
 
 1. **DDL split** — DROP_PARTITION / ADD_COLUMN / RENAME_COLUMN rows are
    peeled off (driver-side; O(#DDL) tiny) and become manifest metadata.
-2. **Last-writer-wins dedup** — one hash aggregation
-   ``groupBy(conv_id, turn_idx).agg(max_by(payload, (ts, rank, lsn)))``
-   picks the surviving action per key. ``max_by`` is a declarative
-   aggregate with map-side partial merge, so a hot conversation's events
-   combine locally on every input partition before the single shuffle —
-   the skew answer. An explicit two-stage salted variant
-   (``salt_partitions``) is provided for window-style fallbacks and for
-   demonstrating the salting plan. Ordering semantics: higher
-   ``(ts, rank, lsn)`` wins, rank DELETE(0) < DROP(1) < INSERT/UPSERT(2) —
+2. **Last-writer-wins dedup** — ``groupBy(conv_id, turn_idx).agg(
+   max(ord))`` over a decimal-packed (ts, rank, lsn) scalar (a
+   whole-stage-codegen HashAggregate with map-side partial merge — the
+   skew answer), then a skew-proof winner-recovery join keyed on
+   (key, ord); see ``dedup_last_writer``. An explicit two-stage salted
+   variant (``salt_partitions``) is also provided. Ordering semantics:
+   higher ``(ts, rank, lsn)`` wins, rank DELETE(0) < INSERT/UPSERT(2) —
    i.e. delete applies before insert at equal ts, exactly the reference's
    intra-pack sort rule (replicate_channel_manager.go:1170-1173).
 3. **MERGE (copy-on-write, bucket-pruned)** — touched buckets =
@@ -117,6 +115,13 @@ def dedup_last_writer(
         )
     else:
         w = keyed.groupBy("conv_id", "turn_idx").agg(F.max("_ord").alias("_ord"))
+    # CONTRACT: lsn is the log offset and therefore unique — the same
+    # guarantee every WAL/binlog consumer relies on. Under it, exactly one
+    # event per key carries max(_ord) (ord embeds lsn) and this join emits
+    # one winner per key. apply_batch validates the contract per batch and
+    # fails loudly on duplicate lsns (silently deduplicating here would
+    # require a payload-carrying aggregate, which planers as SortAggregate
+    # — the 50x cliff this module exists to avoid).
     winners = keyed.join(
         w.hint("shuffle_hash"), on=["conv_id", "turn_idx", "_ord"]
     )
@@ -127,14 +132,27 @@ def dedup_last_writer(
 
 
 def _parse_ddl(rows) -> tuple[list[tuple[str, str]], dict[str, str], dict[int, str]]:
-    """(add_columns, renames{from→to}, drop_watermarks{part→iso ts}) from DDL rows."""
+    """(add_columns, renames{from→to}, drop_watermarks{part→iso ts}) from DDL rows.
+
+    adds are deduped by column name (at-least-once upstream delivery can
+    replay the same ADD_COLUMN into one batch); unknown types degrade to
+    string rather than poisoning the manifest schema."""
+    from milvus_cdc_spark.plans.manifest import _SPARK_TYPES
+
     adds: list[tuple[str, str]] = []
+    seen_adds: set[str] = set()
     renames: dict[str, str] = {}
     drops: dict[int, str] = {}
     for r in sorted(rows, key=lambda r: r["lsn"]):
         arg = json.loads(r["ddl_arg"]) if r["ddl_arg"] else {}
         if r["op"] == S.OP_ADD_COLUMN:
-            adds.append((arg["column"], arg.get("type", "string")))
+            name = arg["column"]
+            typ = arg.get("type", "string")
+            if typ not in _SPARK_TYPES:
+                typ = "string"
+            if name not in seen_adds:
+                seen_adds.add(name)
+                adds.append((name, typ))
         elif r["op"] == S.OP_RENAME_COLUMN:
             renames[arg["from"]] = arg["to"]
         elif r["op"] == S.OP_DROP_PARTITION:
@@ -146,13 +164,11 @@ def _parse_ddl(rows) -> tuple[list[tuple[str, str]], dict[str, str], dict[int, s
 
 
 def _new_drop_filter(drops: dict[int, str]):
-    """Predicate keeping rows NOT strictly below a new drop watermark."""
-    dead = F.lit(False)
-    for part, ts in drops.items():
-        dead = dead | (
-            (F.col("part") == part) & (F.col("ts") < F.lit(ts).cast("timestamp"))
-        )
-    return ~dead
+    """Predicate keeping rows NOT strictly below a new drop watermark.
+    Shares the dead-row definition with the read path (manifest.py)."""
+    from milvus_cdc_spark.plans.manifest import dead_by_watermark
+
+    return ~dead_by_watermark(drops)
 
 
 def apply_batch(
@@ -166,9 +182,13 @@ def apply_batch(
 ) -> dict[str, Any]:
     """Apply one micro-batch of changelog rows. Idempotent per epoch."""
     t0 = time.time()
-    if table.committed_epoch(epoch):
+    # ONE manifest load per epoch: the epoch gate, the merge, and the
+    # commit all work from this snapshot (single-writer protocol)
+    m = table.current() if table.exists() else None
+    if m is None:
+        raise ValueError(f"table {table.root} does not exist")
+    if str(epoch) in m.epochs:
         return {"epoch": epoch, "skipped": True}
-    m = table.current()
     timings: dict[str, float] = {}
 
     def _mark(key: str, t_prev: float) -> float:
@@ -202,6 +222,7 @@ def apply_batch(
             F.sum(F.when(F.col("op").isin(S.OP_INSERT, S.OP_UPSERT), 1).otherwise(0)).alias("n_insert"),
             F.sum(F.when(F.col("op") == S.OP_DELETE, 1).otherwise(0)).alias("n_delete"),
             F.sum(F.when(F.col("op").isin(*S.DDL_OPS), 1).otherwise(0)).alias("n_ddl"),
+            F.count_distinct(F.col("lsn")).alias("n_distinct_lsn"),
             F.collect_set(
                 F.when(F.col("op").isin(*S.DML_OPS), bucket_of)
             ).alias("buckets"),
@@ -221,9 +242,21 @@ def apply_batch(
     n_delete = sum(r["n_delete"] for r in per_part)
     n_ddl = sum(r["n_ddl"] for r in per_part)
     n_events = n_insert + n_delete + n_ddl
+    # changelog-offset integrity gate: duplicate lsns break the dedup
+    # contract (see dedup_last_writer) — stop the task with a reason
+    # rather than corrupt the table (reference pause-on-error,
+    # server/cdc_impl.go:972-1003). lsn is partition-scoped here, so the
+    # per-part distinct counts sum exactly.
+    n_distinct = sum(r["n_distinct_lsn"] for r in per_part)
+    if n_distinct != n_events:
+        raise ValueError(
+            f"epoch {epoch}: {n_events - n_distinct} duplicate lsn(s) in "
+            "batch — changelog offsets must be unique"
+        )
     tp = _mark("lineage_ddl_buckets", tp)
 
     physical_cols = [c for c, _ in m.columns]
+    col_types = {c: t for c, t in m.columns} | {c: t for c, t in adds}
     evolved_payload = [
         c for c in physical_cols if c not in ("conv_id", "turn_idx", "ts", "part", "lsn")
         and c not in _BASE_PAYLOAD
@@ -234,7 +267,12 @@ def apply_batch(
     # inside the single merge+write job below)
     dml = batch_df.filter(F.col("op").isin(*S.DML_OPS))
     for c in evolved_payload:
-        dml = dml.withColumn(c, F.col("extra").getItem(c))
+        # cast to the DECLARED type: the manifest schema reads these files
+        # back with that type, so writing the raw string from the dynamic
+        # bag would wedge every subsequent scan of a typed added column
+        dml = dml.withColumn(
+            c, F.col("extra").getItem(c).cast(col_types.get(c, "string"))
+        )
     # the raw dynamic-field bag rides along so an ADD_COLUMN seen in a LATER
     # batch can still recover values at read time (order-insensitive DDL)
     carry_cols = payload_cols + ["extra"]
@@ -248,7 +286,6 @@ def apply_batch(
     if combined_drops:
         actions = actions.filter(_new_drop_filter(combined_drops))
 
-    actions = actions.withColumn("_bucket", bucket_of)
     tp = _mark("dedup_plan", tp)
 
     replaced: dict[int, list[str]] = {}
@@ -259,9 +296,9 @@ def apply_batch(
         if new_drops:
             target = target.filter(_new_drop_filter(new_drops))
         # stored rows may predate an ADD_COLUMN in this batch
-        for c, _t in adds:
-            if c not in [x for x, _ in m.columns]:
-                target = target.withColumn(c, F.lit(None).cast("string"))
+        for c, typ in adds:
+            if c not in physical_cols:
+                target = target.withColumn(c, F.lit(None).cast(typ))
 
         t = target.select(
             F.col("conv_id"), F.col("turn_idx"),
@@ -269,7 +306,7 @@ def apply_batch(
             *[F.col(c).alias(f"t_{c}") for c in ["ts", "lsn", "part"] + carry_cols],
         )
         a = actions.select(
-            F.col("conv_id"), F.col("turn_idx"), F.col("_bucket"),
+            F.col("conv_id"), F.col("turn_idx"),
             *[F.col(c).alias(f"a_{c}") for c in ["op", "ts", "lsn", "part"] + carry_cols],
         )
         # SHUFFLE_HASH: both sides are unique per key, so the join cannot
@@ -407,7 +444,8 @@ def apply_batch(
         add_columns=adds,
         renames=renames,
         drop_watermarks=new_drops,
-        summary_delta={"last_epoch": epoch, "events_applied": n_events},
+        summary_delta={"events_applied": n_events},
+        base=m,
     )
     if os.environ.get("CDC_TIMINGS"):
         import sys

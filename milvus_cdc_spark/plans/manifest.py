@@ -63,6 +63,19 @@ def _ts_to_str(v) -> str:
     return v.isoformat(sep=" ")
 
 
+def dead_by_watermark(watermarks: dict) -> "F.Column":
+    """Rows strictly older than a partition-drop watermark are dead — the
+    ONE definition shared by the read path (drop_predicate) and the apply
+    path (operators/apply.py), so the semantics cannot drift apart."""
+    pred = F.lit(False)
+    for part, ts in watermarks.items():
+        pred = pred | (
+            (F.col("part") == int(part))
+            & (F.col("ts") < F.lit(ts).cast("timestamp"))
+        )
+    return pred
+
+
 @dataclass
 class Manifest:
     version: int
@@ -135,7 +148,7 @@ class SnapshotTable:
             drop_watermarks={},
             files={},
             epochs={},
-            summary={"total_rows": 0},
+            summary={},
         )
         self._write_manifest(m)
         return m
@@ -149,8 +162,11 @@ class SnapshotTable:
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
             return Manifest.from_json(f.read())
 
-    def _snapshot_id(self, epoch: int) -> str:
-        raw = f"{os.path.basename(self.root)}:{epoch}".encode()
+    def _snapshot_id(self, label) -> str:
+        """Deterministic snapshot id; ``label`` is an epoch int or a
+        maintenance label like 'compact-3' — distinct label spaces so a
+        compaction at version N can never collide with an epoch id."""
+        raw = f"{os.path.basename(self.root)}:{label}".encode()
         return "snap-" + hashlib.sha1(raw).hexdigest()[:16]
 
     def _write_manifest(self, m: Manifest) -> None:
@@ -206,12 +222,7 @@ class SnapshotTable:
     @staticmethod
     def drop_predicate(m: Manifest):
         """Rows strictly older than a partition-drop watermark are dead."""
-        pred = F.lit(False)
-        for part, ts in m.drop_watermarks.items():
-            pred = pred | (
-                (F.col("part") == int(part)) & (F.col("ts") < F.lit(ts).cast("timestamp"))
-            )
-        return pred
+        return dead_by_watermark(m.drop_watermarks)
 
     # -- commit ----------------------------------------------------------
     def committed_epoch(self, epoch: int) -> bool:
@@ -226,9 +237,15 @@ class SnapshotTable:
         renames: dict[str, str] | None = None,
         drop_watermarks: dict[int, str] | None = None,
         summary_delta: dict[str, Any] | None = None,
+        base: Manifest | None = None,
     ) -> Manifest:
-        """Atomically produce the next snapshot. Idempotent per epoch."""
-        m = self.current()
+        """Atomically produce the next snapshot. Idempotent per epoch.
+
+        ``base`` lets the (single) writer reuse the manifest it already
+        loaded for the batch instead of re-reading and re-parsing it —
+        manifest size grows with table history, and this is on the
+        per-epoch fixed-cost path."""
+        m = base if base is not None else self.current()
         if str(epoch) in m.epochs:
             return m
         files = dict(m.files)
@@ -244,12 +261,14 @@ class SnapshotTable:
             if name not in have:
                 columns.append([name, typ])
                 added.append(name)
+                have.add(name)  # dedupe replayed ADD_COLUMNs in one batch
         ren = dict(m.renames)
         for frm, to in (renames or {}).items():
-            # `frm` is a logical name; resolve to its physical column
-            physical = next(
-                (p for p in have if m.renames.get(p, p) == frm), frm
-            )
+            # `frm` is a logical name; resolve through the IN-PROGRESS map
+            # so a rename chain inside one batch (a→b then b→c) lands on
+            # the same physical column as the same chain split across
+            # batches — the any-batching-converges invariant
+            physical = next((p for p in have if ren.get(p, p) == frm), frm)
             ren[physical] = to
         wm = dict(m.drop_watermarks)
         for part, ts in (drop_watermarks or {}).items():
@@ -258,6 +277,7 @@ class SnapshotTable:
         summary = dict(m.summary)
         for k, v in (summary_delta or {}).items():
             summary[k] = summary.get(k, 0) + v if isinstance(v, (int, float)) else v
+        summary["last_epoch"] = epoch  # absolute, never summed
         epochs = dict(m.epochs)
         snap = self._snapshot_id(epoch)
         epochs[str(epoch)] = snap
@@ -334,7 +354,7 @@ class SnapshotTable:
                     files[str(b)] = rels
         nm = Manifest(
             version=m.version + 1,
-            snapshot_id=self._snapshot_id(-(m.version + 1)),
+            snapshot_id=self._snapshot_id(f"compact-{m.version}"),
             n_buckets=m.n_buckets,
             columns=[list(c) for c in m.columns],
             renames=dict(m.renames),
