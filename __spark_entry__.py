@@ -459,12 +459,16 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lineage": f"""
             WITH log AS ({_DERIVE_SQL})
             SELECT part, MIN(lsn) AS start_lsn, MAX(lsn) AS end_lsn,
-                   SUM(CASE WHEN op <> 'DELETE' THEN 1 ELSE 0 END) AS n_insert,
-                   SUM(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS n_delete
+                   -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which the
+                   -- driver's pandas fetch coerces to float64 and the value
+                   -- hash diverges ("150.0" vs "150"); same for every
+                   -- outermost SUM below.
+                   CAST(SUM(CASE WHEN op <> 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+                   CAST(SUM(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
             FROM log GROUP BY part""",
         "cdc_metrics": """
             SELECT event_type, COUNT(*) AS n_events,
-                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_value_cents
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY event_type""",
         "cdc_dropped_skip": f"""
             WITH log AS ({_DERIVE_SQL})
@@ -493,8 +497,8 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END AS brk
                   FROM log),
             s AS (SELECT conv_id, ts,
-                    SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts, lsn
-                       ROWS UNBOUNDED PRECEDING) AS session_no
+                    CAST(SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts, lsn
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
                   FROM g)
             SELECT conv_id, session_no, MIN(ts) AS session_start,
                    MAX(ts) AS session_end, COUNT(*) AS n_events
@@ -634,13 +638,13 @@ def oracle_sql() -> dict[str, str]:
               FROM scored) WHERE rank <= 5""",
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
-                   SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "tpch_revenue_by_nation": """
             SELECT n_name,
-                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
