@@ -81,13 +81,20 @@ def _derive_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_table_root(sf_dir: str, name: str) -> str:
+    """Stable per-(probe, sf) scratch dir: repeated runs overwrite the same
+    table instead of leaking a fresh mkdtemp per invocation."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"cdc_probe_{name}_{tag}")
+
+
 def _q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP: run the REAL engine (SnapshotTable + 3 micro-batch
     apply_batch MERGEs) over the derived changelog; the oracle is a pure
     window query — so the entire dedup/merge/commit machinery is what's
     being checked, not a mirrored expression."""
     log = _derive_changelog(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    root = _probe_table_root(sf_dir, "final_state")
     table = SnapshotTable(os.path.join(root, "transcripts"))
     table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
     hi = log.agg(F.max("lsn")).collect()[0][0] or 0
@@ -115,9 +122,95 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
 
 
+def _q_cdc_table_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for W4/TRUNCATE (reference DropCollection, one of the
+    four whitelisted replicate ops, replicate_channel_manager.go:1162-1167):
+    a TRUNCATE event at the mid-log timestamp is applied BETWEEN the newer
+    half (epoch 0) and the older half (epoch 2 — deliberately late), so
+    convergence requires the manifest truncate watermark to defeat
+    late-arriving DML older than the truncate."""
+    log = _derive_changelog(spark, sf_dir)
+    bounds = log.agg(F.max("lsn").alias("hi")).collect()[0]
+    hi = bounds["hi"] or 0
+    mid = hi // 2
+    trunc_ts = (
+        log.filter(F.col("lsn") <= mid).agg(F.max("ts")).collect()[0][0]
+    )
+    trunc = spark.createDataFrame(
+        [(hi + 1, trunc_ts, 0, S.OP_TRUNCATE, None, None, None, None, None, "{}", None)],
+        S.CHANGELOG_SCHEMA,
+    )
+    root = _probe_table_root(sf_dir, "truncate")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    apply_batch(spark, table, log.filter(F.col("lsn") > mid), epoch=0)
+    apply_batch(spark, table, trunc, epoch=1)
+    apply_batch(spark, table, log.filter(F.col("lsn") <= mid), epoch=2)  # late
+    return table.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn"
+    )
+
+
+# final state under a truncate at T = max ts of the older half: the
+# last-writer winner survives iff it is not a DELETE and not strictly
+# older than T (ties at T survive — the watermark is strict-<)
+_ORACLE_TABLE_TRUNCATE = f"""
+WITH log AS ({_DERIVE_SQL}),
+t AS (SELECT MAX(ts) AS tts FROM log
+      WHERE lsn <= (SELECT CAST(FLOOR(MAX(lsn) / 2) AS BIGINT) FROM log)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log)
+SELECT conv_id, turn_idx, role, text, ts, part, lsn
+FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND ts >= (SELECT tts FROM t)
+"""
+
+
 # ---- portable SQL fragments for the text family ---------------------------
 _SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ---- portable SQL fragments for the vector family --------------------------
+# Both engines sum elementwise double products sequentially (Spark
+# aggregate/zip_with, DuckDB list_sum/list_transform) → bit-identical
+# doubles, proven hash-green by emb_neardup / ann_topk_bruteforce in r1.
+def _sql_vdot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1),"
+        f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _sql_cos_micro(a: str, b: str) -> str:
+    return (
+        f"CAST(FLOOR({_sql_vdot(a, b)} / "
+        f"(sqrt({_sql_vdot(a, a)}) * sqrt({_sql_vdot(b, b)})) * 1e6) AS BIGINT)"
+    )
+
+
+def _sql_plane(p: int, dim: int = 64) -> str:
+    """The SAME deterministic hyperplane similarity._plane emits, as a SQL
+    double-array literal (repr() round-trips doubles exactly)."""
+    from milvus_cdc_spark.operators.similarity import _plane
+
+    vals = ", ".join(repr(_plane(dim, p, j)) for j in range(dim))
+    return f"([{vals}]::DOUBLE[])"
+
+
+def _sql_bucket(col: str, n_planes: int, plane_offset: int = 0, dim: int = 64) -> str:
+    """SQL mirror of similarity._bucket_expr (sign-random-projection id)."""
+    terms = []
+    for p in range(n_planes):
+        d = (
+            f"list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> {col}[i]::DOUBLE * {_sql_plane(plane_offset + p, dim)}[i]))"
+        )
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST((" + " + ".join(terms) + ") AS INT)"
 
 
 def _sql_stop_count(words: list[str], toks: str = "toks") -> str:
@@ -130,6 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ===== CDC engine inventory (SURVEY.md §2) =====
     q["cdc_final_state"] = _q_cdc_final_state
+    q["cdc_table_truncate"] = _q_cdc_table_truncate
 
     def cdc_op_whitelist(spark, sf):  # F1
         return (
@@ -359,26 +453,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["emb_neardup"] = emb_neardup
 
+    def emb_neardup_lsh(spark, sf):  # the 100 TB bucketed dedup path —
+        # same contract as emb_neardup, candidates restricted to shared
+        # LSH buckets (shuffle on bucket ids, no O(n²) stage)
+        return DD.embedding_neardup_lsh_pairs(
+            _t(spark, sf, "embeddings"),
+            threshold_micro=400000, n_planes=4, n_tables=2,
+        )
+    q["emb_neardup_lsh"] = emb_neardup_lsh
+
     def ann_topk_bruteforce(spark, sf):
         e = _t(spark, sf, "embeddings")
         return brute_force_topk(e.filter(F.col("vec_id") < 10), e, k=5)
     q["ann_topk_bruteforce"] = ann_topk_bruteforce
 
-    def ann_topk_lsh(spark, sf):  # approximate — rows-only check
+    def ann_topk_lsh(spark, sf):  # approximate but DETERMINISTIC
+        # (md5-seeded planes) — the oracle mirrors the full bucket +
+        # multi-probe + rank pipeline in SQL, so this is hash-checked
         e = _t(spark, sf, "embeddings")
         return lsh_topk(e.filter(F.col("vec_id") < 10), e, k=5, n_planes=3)
     q["ann_topk_lsh"] = ann_topk_lsh
 
-    def ann_topk_ivf(spark, sf):  # approximate — rows-only check
+    def ann_topk_ivf(spark, sf):  # deterministic IVF (md5-ordered
+        # centroid sample) — full SQL mirror, hash-checked
         e = _t(spark, sf, "embeddings")
         return ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5)
     q["ann_topk_ivf"] = ann_topk_ivf
 
-    def mm_media_features(spark, sf):  # multimodal plumbing — rows-only
+    def mm_media_features(spark, sf):  # multimodal plumbing; decode is a
+        # declared stub (no codec libs in container) but the integer
+        # contract — byte counts, resize dims, payload content
+        # fingerprint through the Arrow boundary — is oracle-checked
         from milvus_cdc_spark.operators.multimodal import extract_features, synthesize_media
 
         return extract_features(synthesize_media(spark, 48), dim=8).select(
-            "media_id", "kind", "n_bytes", "thumb_w", "thumb_h"
+            "media_id", "kind", "n_bytes", "thumb_w", "thumb_h", "payload_fp"
         )
     q["mm_media_features"] = mm_media_features
 
@@ -427,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "cdc_final_state": _ORACLE_FINAL_STATE,
+        "cdc_table_truncate": _ORACLE_TABLE_TRUNCATE,
         "cdc_op_whitelist": """
             SELECT event_id, user_id, event_type FROM events
             WHERE event_type IN ('signup','purchase','error')""",
@@ -636,6 +746,85 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY query_id ORDER BY cosine_micro DESC, neighbor_id) AS rank
               FROM scored) WHERE rank <= 5""",
+        "emb_neardup_lsh": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            b AS (SELECT vec_id, 0 AS tab, {_sql_bucket('embedding', 4, 0)} AS bucket FROM e
+                  UNION ALL
+                  SELECT vec_id, 1 AS tab, {_sql_bucket('embedding', 4, 4)} AS bucket FROM e),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS doc_a, b2.vec_id AS doc_b
+              FROM b a JOIN b b2
+                ON a.tab = b2.tab AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+            SELECT doc_a, doc_b, cosine_micro FROM (
+              SELECT doc_a, doc_b,
+                     {_sql_cos_micro('ea.embedding', 'eb.embedding')} AS cosine_micro
+              FROM cand
+              JOIN e ea ON ea.vec_id = doc_a
+              JOIN e eb ON eb.vec_id = doc_b)
+            WHERE cosine_micro >= 400000""",
+        "ann_topk_lsh": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            b AS (SELECT vec_id, embedding, {_sql_bucket('embedding', 3)} AS bucket FROM e),
+            q AS (SELECT vec_id AS query_id, bucket AS qb FROM b WHERE vec_id < 10),
+            probes AS (SELECT query_id,
+                              unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4)]) AS bucket
+                       FROM q),
+            cand AS (
+              SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+              FROM probes p JOIN b c ON p.bucket = c.bucket
+              WHERE c.vec_id <> p.query_id),
+            scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     {_sql_cos_micro('q2.embedding', 'c2.embedding')} AS cosine_micro
+              FROM cand
+              JOIN e q2 ON q2.vec_id = cand.query_id
+              JOIN e c2 ON c2.vec_id = cand.neighbor_id)
+            SELECT query_id, neighbor_id, rank, cosine_micro FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_micro DESC, neighbor_id) AS rank
+              FROM scored) WHERE rank <= 5""",
+        "ann_topk_ivf": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            cent AS (SELECT vec_id AS cid, embedding AS cvec FROM e
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+            assigned AS (SELECT neighbor_id, cell FROM (
+                SELECT c.vec_id AS neighbor_id, t.cid AS cell,
+                       ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                         ORDER BY {_sql_cos_micro('c.embedding', 't.cvec')} DESC, t.cid) AS rn
+                FROM e c, cent t) WHERE rn = 1),
+            probes AS (SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, t.cid AS cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY {_sql_cos_micro('q.embedding', 't.cvec')} DESC, t.cid) AS rn
+                FROM e q, cent t WHERE q.vec_id < 10) WHERE rn <= 4),
+            cand AS (
+              SELECT DISTINCT query_id, neighbor_id
+              FROM probes JOIN assigned USING (cell)
+              WHERE neighbor_id <> query_id),
+            scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     {_sql_cos_micro('q2.embedding', 'c2.embedding')} AS cosine_micro
+              FROM cand
+              JOIN e q2 ON q2.vec_id = cand.query_id
+              JOIN e c2 ON c2.vec_id = cand.neighbor_id)
+            SELECT query_id, neighbor_id, rank, cosine_micro FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_micro DESC, neighbor_id) AS rank
+              FROM scored) WHERE rank <= 5""",
+        "mm_media_features": """
+            WITH m AS (SELECT unnest(range(0, 48)) AS i),
+            base AS (SELECT i AS media_id,
+                CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                upper(repeat(sha256('media' || CAST(i AS VARCHAR)), 4)) AS hx
+              FROM m)
+            SELECT media_id, kind, 128 AS n_bytes,
+                   CASE WHEN kind <> 'audio'
+                        THEN CAST(FLOOR((64 + media_id % 512) / 2) AS INT) END AS thumb_w,
+                   CASE WHEN kind <> 'audio'
+                        THEN CAST(FLOOR((48 + media_id % 256) / 2) AS INT) END AS thumb_h,
+                   ('0x' || substr(md5(hx), 1, 15))::BIGINT AS payload_fp
+            FROM base""",
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -651,8 +840,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name""",
-        # ann_topk_lsh / ann_topk_ivf / mm_media_features: approximate or
-        # non-SQL plumbing — intentionally no oracle (driver rows-only check)
     }
 
 

@@ -43,6 +43,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # explicit heap size opts in to Xms/AlwaysPreTouch (see session.py —
+    # lazy heap first-touch at 32 threads measured 97% system CPU)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     from milvus_cdc_spark.session import get_spark
     from milvus_cdc_spark.sources import generate_changelog, write_changelog
     from milvus_cdc_spark.streaming.engine import run_until_drained

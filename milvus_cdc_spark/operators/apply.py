@@ -131,8 +131,11 @@ def dedup_last_writer(
     )
 
 
-def _parse_ddl(rows) -> tuple[list[tuple[str, str]], dict[str, str], dict[int, str]]:
-    """(add_columns, renames{from→to}, drop_watermarks{part→iso ts}) from DDL rows.
+def _parse_ddl(
+    rows,
+) -> tuple[list[tuple[str, str]], dict[str, str], dict[int, str], str | None]:
+    """(add_columns, renames{from→to}, drop_watermarks{part→iso ts},
+    truncate_ts) from DDL rows.
 
     adds are deduped by column name (at-least-once upstream delivery can
     replay the same ADD_COLUMN into one batch); unknown types degrade to
@@ -143,6 +146,7 @@ def _parse_ddl(rows) -> tuple[list[tuple[str, str]], dict[str, str], dict[int, s
     seen_adds: set[str] = set()
     renames: dict[str, str] = {}
     drops: dict[int, str] = {}
+    truncate_ts: str | None = None
     for r in sorted(rows, key=lambda r: r["lsn"]):
         arg = json.loads(r["ddl_arg"]) if r["ddl_arg"] else {}
         if r["op"] == S.OP_ADD_COLUMN:
@@ -160,15 +164,20 @@ def _parse_ddl(rows) -> tuple[list[tuple[str, str]], dict[str, str], dict[int, s
             ts = r["ts"].isoformat(sep=" ")
             if part not in drops or ts > drops[part]:
                 drops[part] = ts
-    return adds, renames, drops
+        elif r["op"] == S.OP_TRUNCATE:
+            ts = r["ts"].isoformat(sep=" ")
+            if truncate_ts is None or ts > truncate_ts:
+                truncate_ts = ts
+    return adds, renames, drops, truncate_ts
 
 
-def _new_drop_filter(drops: dict[int, str]):
-    """Predicate keeping rows NOT strictly below a new drop watermark.
-    Shares the dead-row definition with the read path (manifest.py)."""
+def _new_drop_filter(drops: dict[int, str], truncate_ts: str | None = None):
+    """Predicate keeping rows NOT strictly below a new drop/truncate
+    watermark. Shares the dead-row definition with the read path
+    (manifest.py)."""
     from milvus_cdc_spark.plans.manifest import dead_by_watermark
 
-    return ~dead_by_watermark(drops)
+    return ~dead_by_watermark(drops, truncate_ts)
 
 
 def apply_batch(
@@ -214,9 +223,15 @@ def apply_batch(
     # throughput)
     nb = m.n_buckets
     bucket_of = F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
-    per_part = (
-        batch_df.groupBy("part")
+    # rollup (= grouping sets (part), ()) adds ONE grand-total row to the
+    # same single aggregation job: its count_distinct(lsn) is the GLOBAL
+    # distinct count the offset-integrity gate needs — a per-part sum
+    # would miss the same lsn landing in two parts (nothing in
+    # CHANGELOG_SCHEMA forces part to be a function of conv_id)
+    rolled = (
+        batch_df.rollup("part")
         .agg(
+            F.grouping("part").alias("_total"),
             F.min("lsn").alias("start_lsn"),
             F.max("lsn").alias("end_lsn"),
             F.sum(F.when(F.col("op").isin(S.OP_INSERT, S.OP_UPSERT), 1).otherwise(0)).alias("n_insert"),
@@ -235,19 +250,22 @@ def apply_batch(
         )
         .collect()
     )
+    total = next((r for r in rolled if r["_total"] == 1), None)
+    per_part = [r for r in rolled if r["_total"] == 0]
     ddl_rows = [d for r in per_part for d in r["ddl"]]
-    adds, renames, new_drops = _parse_ddl(ddl_rows)
+    adds, renames, new_drops, new_truncate = _parse_ddl(ddl_rows)
     touched = sorted({b for r in per_part for b in r["buckets"]})
     n_insert = sum(r["n_insert"] for r in per_part)
     n_delete = sum(r["n_delete"] for r in per_part)
     n_ddl = sum(r["n_ddl"] for r in per_part)
     n_events = n_insert + n_delete + n_ddl
     # changelog-offset integrity gate: duplicate lsns break the dedup
-    # contract (see dedup_last_writer) — stop the task with a reason
-    # rather than corrupt the table (reference pause-on-error,
-    # server/cdc_impl.go:972-1003). lsn is partition-scoped here, so the
-    # per-part distinct counts sum exactly.
-    n_distinct = sum(r["n_distinct_lsn"] for r in per_part)
+    # contract (dedup_last_writer relies on GLOBALLY unique lsn — the
+    # guarantee every WAL/binlog consumer has) — stop the task with a
+    # reason rather than corrupt the table (reference pause-on-error,
+    # server/cdc_impl.go:972-1003). The grand-total row makes the check
+    # global: duplicates landing in DIFFERENT parts are caught too.
+    n_distinct = total["n_distinct_lsn"] if total is not None else 0
     if n_distinct != n_events:
         raise ValueError(
             f"epoch {epoch}: {n_events - n_distinct} duplicate lsn(s) in "
@@ -278,13 +296,17 @@ def apply_batch(
     carry_cols = payload_cols + ["extra"]
     actions = dedup_last_writer(dml, carry_cols, salt_partitions)
 
-    # drop watermarks (historical + this batch) kill strictly-older actions
+    # drop/truncate watermarks (historical + this batch) kill strictly-older
+    # actions
     combined_drops = {int(p): ts for p, ts in m.drop_watermarks.items()}
     for p, ts in new_drops.items():
         if p not in combined_drops or ts > combined_drops[p]:
             combined_drops[p] = ts
-    if combined_drops:
-        actions = actions.filter(_new_drop_filter(combined_drops))
+    combined_truncate = m.truncate_watermark
+    if new_truncate and (combined_truncate is None or new_truncate > combined_truncate):
+        combined_truncate = new_truncate
+    if combined_drops or combined_truncate:
+        actions = actions.filter(_new_drop_filter(combined_drops, combined_truncate))
 
     tp = _mark("dedup_plan", tp)
 
@@ -293,8 +315,10 @@ def apply_batch(
     max_ts = None
     if touched:
         target = table.read(spark, manifest=m, buckets=touched, logical=False)
-        if new_drops:
-            target = target.filter(_new_drop_filter(new_drops))
+        if new_drops or new_truncate:
+            # historical watermarks were already applied inside read();
+            # only THIS batch's new drops/truncate need filtering here
+            target = target.filter(_new_drop_filter(new_drops, new_truncate))
         # stored rows may predate an ADD_COLUMN in this batch
         for c, typ in adds:
             if c not in physical_cols:
@@ -444,6 +468,7 @@ def apply_batch(
         add_columns=adds,
         renames=renames,
         drop_watermarks=new_drops,
+        truncate_watermark=new_truncate,
         summary_delta={"events_applied": n_events},
         base=m,
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from milvus_cdc_spark.caching import CacheScope, default_scope
 from milvus_cdc_spark.functions import text as TXT
 
 # pairwise baselines broadcast the corpus side only below this row count —
@@ -47,17 +48,23 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _shingle_df(df: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
+def _shingle_df(
+    df: DataFrame, k: int, text_col: str, id_col: str, scope: CacheScope
+) -> DataFrame:
     """(id, sh) with tokens and shingles STAGED through persisted
     projections — each stage reads the previous as a plain attribute, so
     the regex split and shingle assembly run exactly once per row (see
-    functions.text.shingles_from_tokens for why inlining is 25x slower)."""
-    toks = df.select(
-        F.col(id_col).alias("id"), TXT.tokens(F.col(text_col)).alias("toks")
-    ).persist()
-    return toks.select(
-        "id", F.array_distinct(TXT.shingles_from_tokens(F.col("toks"), k)).alias("sh")
-    ).persist()
+    functions.text.shingles_from_tokens for why inlining is 25x slower).
+    Persists are registered on ``scope`` (see caching.CacheScope)."""
+    toks = scope.persist(
+        df.select(F.col(id_col).alias("id"), TXT.tokens(F.col(text_col)).alias("toks"))
+    )
+    return scope.persist(
+        toks.select(
+            "id",
+            F.array_distinct(TXT.shingles_from_tokens(F.col("toks"), k)).alias("sh"),
+        )
+    )
 
 
 def shingle_jaccard_pairs(
@@ -66,20 +73,23 @@ def shingle_jaccard_pairs(
     k: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over ALL pairs (quadratic — baseline only).
 
     Output: (doc_a, doc_b, jaccard_milli) for pairs with jaccard*1000 >=
     threshold, a < b. Integer jaccard_milli keeps the oracle float-free.
     """
-    sh = _shingle_df(df, k, text_col, id_col)
+    sh = _shingle_df(df, k, text_col, id_col, scope or default_scope())
     par = 2 * df.sparkSession.sparkContext.defaultParallelism
     a, b = sh.repartition(par).alias("a"), sh.alias("b")
     # broadcast only when the build side is safely small — this operator is
     # the quadratic correctness baseline, but it must not OOM the driver
     # when someone points it at a large corpus (the repartitioned stream
-    # side alone already fixes single-file-input parallelism)
-    b_side = F.broadcast(b) if sh.count() <= _BROADCAST_ROW_CAP else b
+    # side alone already fixes single-file-input parallelism). The count
+    # runs on the INPUT df (one shingle row per doc), so a parquet source
+    # answers it from footer stats without materializing the shingle cache.
+    b_side = F.broadcast(b) if df.count() <= _BROADCAST_ROW_CAP else b
     pairs = a.join(b_side, F.col("a.id") < F.col("b.id"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
@@ -101,6 +111,7 @@ def minhash_lsh_pairs(
     k: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified by exact jaccard.
 
@@ -111,11 +122,14 @@ def minhash_lsh_pairs(
     shingle jaccard on candidates only.
     """
     rows_per_band = n_hashes // bands
+    scope = scope or default_scope()
     # staged + persisted: each level reads attributes, never re-inlined
     # expressions (tokens/shingles/signature each computed once per row)
-    base = _shingle_df(df, k, text_col, id_col).select(
-        "id", "sh", TXT.minhash_from_shingles(F.col("sh"), n_hashes).alias("sig")
-    ).persist()
+    base = scope.persist(
+        _shingle_df(df, k, text_col, id_col, scope).select(
+            "id", "sh", TXT.minhash_from_shingles(F.col("sh"), n_hashes).alias("sig")
+        )
+    )
     banded = base.select(
         "id",
         "sh",
@@ -169,19 +183,23 @@ def simhash_pairs(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share >=1 of ``bands`` hash bands
     (pigeonhole: hamming<=bands-1 guarantees a shared band), verified by
     exact hamming distance <= max_hamming."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    th = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(TXT.tokens(F.col(text_col)), lambda t: TXT.portable_hash64(t)).alias("th"),
-    ).persist()
-    base = th.select(
-        "id", TXT.simhash_from_hashes(F.col("th"), bits).alias("sim")
-    ).persist()  # staged: token hashes computed once, then 32 bit-votes read them
+    scope = scope or default_scope()
+    th = scope.persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(TXT.tokens(F.col(text_col)), lambda t: TXT.portable_hash64(t)).alias("th"),
+        )
+    )
+    base = scope.persist(  # staged: token hashes computed once, then 32 bit-votes read them
+        th.select("id", TXT.simhash_from_hashes(F.col("th"), bits).alias("sim"))
+    )
     banded = base.select(
         "id",
         "sim",
@@ -219,11 +237,70 @@ def simhash_pairs(
     )
 
 
+def embedding_neardup_lsh_pairs(
+    df: DataFrame,
+    threshold_micro: int = 950000,
+    n_planes: int = 4,
+    n_tables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: candidates = rows sharing a
+    sign-random-projection bucket in ANY of ``n_tables`` independent hash
+    tables (each ``n_planes`` hyperplanes), verified by exact cosine.
+
+    The self-join keys on (table, bucket) — the only shuffle at scale is
+    on bucket ids, never O(n²); this is the 100 TB path next to the
+    quadratic ``embedding_neardup_pairs`` correctness baseline (same
+    output contract: (doc_a, doc_b, cosine_micro), a < b, pairs missed by
+    every table are approximation loss by design).
+    """
+    from milvus_cdc_spark.operators.similarity import _bucket_expr
+
+    base = (scope or default_scope()).persist(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
+    banded = None
+    for t in range(n_tables):
+        tab = base.select(
+            "id",
+            "v",
+            F.lit(t).alias("tab"),
+            _bucket_expr("v", dim, n_planes, plane_offset=t * n_planes).alias("bucket"),
+        )
+        banded = tab if banded is None else banded.unionByName(tab)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tab") == F.col("b.tab"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+            F.col("a.v").alias("v_a"), F.col("b.v").alias("v_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    from milvus_cdc_spark.functions.vectors import cosine_milli
+
+    return (
+        cand.select(
+            "doc_a", "doc_b", cosine_milli(F.col("v_a"), F.col("v_b")).alias("cosine_micro")
+        )
+        .filter(F.col("cosine_micro") >= threshold_micro)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold_micro: int = 950000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine*1e6 >= threshold, a<b).
 
@@ -234,10 +311,12 @@ def embedding_neardup_pairs(
 
     # norms computed ONCE per row (cached), not per pair — turns the O(n²)
     # stage from 3 vector reductions per pair into 1
-    base = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm"),
-    ).persist()
+    base = (scope or default_scope()).persist(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+    )
     # the streamed side is spread across the cluster: embedding tables are
     # often a single small file, and without this the whole O(n²) scoring
     # loop runs as ONE task regardless of core count
@@ -246,7 +325,7 @@ def embedding_neardup_pairs(
         F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
     ).repartition(par)
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
-    b_side = F.broadcast(b) if base.count() <= _BROADCAST_ROW_CAP else b
+    b_side = F.broadcast(b) if df.count() <= _BROADCAST_ROW_CAP else b
     pairs = a.join(b_side, F.col("id_a") < F.col("id_b"))
     cm = F.floor(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")) * 1e6).cast("bigint")
     return (

@@ -41,8 +41,22 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
         T.StructField("thumb_w", T.IntegerType(), True),
         T.StructField("thumb_h", T.IntegerType(), True),
+        # content fingerprint: md5 over the payload's UPPERCASE hex (the
+        # same string F.hex(payload) yields), first 15 hex chars as int64.
+        # Integer-only → SQL-oracle-checkable proof the binary column
+        # survived the Arrow round-trip byte-exact.
+        T.StructField("payload_fp", T.LongType(), True),
     ]
 )
+
+
+def _payload_fp(b: bytes | None) -> int | None:
+    if b is None:
+        return None
+    import binascii
+
+    hx = binascii.hexlify(bytes(b)).upper()
+    return int(hashlib.md5(hx).hexdigest()[:15], 16)
 
 
 def synthesize_media(spark, n: int = 64) -> DataFrame:
@@ -99,6 +113,7 @@ def extract_features(media: DataFrame, dim: int = 8, batch_hint: int = 256) -> D
                     # resize stub: halve dimensions where present
                     "thumb_w": (pdf["width"] // 2).astype("Int32"),
                     "thumb_h": (pdf["height"] // 2).astype("Int32"),
+                    "payload_fp": pdf["payload"].map(_payload_fp).astype("Int64"),
                 }
             )
             yield out

@@ -75,10 +75,12 @@ def _plane(dim: int, p: int, j: int) -> float:
     return (h % 2000003) / 1000001.5 - 1.0
 
 
-def _bucket_expr(vec_col, dim: int, n_planes: int):
+def _bucket_expr(vec_col, dim: int, n_planes: int, plane_offset: int = 0):
+    """Sign-random-projection bucket id (``plane_offset`` selects an
+    independent plane family so multiple hash tables can coexist)."""
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(_plane(dim, p, j)) for j in range(dim)])
+        plane = F.array(*[F.lit(_plane(dim, plane_offset + p, j)) for j in range(dim)])
         bits.append(
             F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         )
@@ -147,9 +149,13 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style ANN: centroids = deterministic corpus sample; corpus rows
     assigned to nearest centroid; each query probes ``nprobe`` centroids."""
+    # centroid sample = first n by md5(id): order-stable under ANY file
+    # layout / partitioning (a bare limit() takes whatever partition
+    # happens to be scanned first), cheap at scale (TakeOrdered keeps
+    # n_centroids rows per partition), and SQL-mirrorable for the oracle
     cent = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .filter(F.pmod(F.xxhash64(F.col("cid")), F.lit(max(1, 997))) < n_centroids * 37)
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
         .limit(n_centroids)
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))

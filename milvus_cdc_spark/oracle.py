@@ -24,6 +24,7 @@ from milvus_cdc_spark import schemas as S
 _RANKS = {
     S.OP_DELETE: 0,
     S.OP_DROP_PARTITION: 1,
+    S.OP_TRUNCATE: 1,
     S.OP_INSERT: 2,
     S.OP_UPSERT: 2,
     S.OP_ADD_COLUMN: 3,
@@ -51,6 +52,11 @@ def replay(events: list[dict[str, Any]]) -> tuple[list[dict[str, Any]], list[str
         elif op == S.OP_DROP_PARTITION:
             part = json.loads(e["ddl_arg"]).get("part", e["part"])
             state = {k: v for k, v in state.items() if v["part"] != part}
+        elif op == S.OP_TRUNCATE:
+            # table-level drop: every entry folded so far has a strictly
+            # smaller (ts, rank, lsn), so clearing state matches the
+            # engine's strict-< truncate watermark exactly
+            state = {}
         elif op == S.OP_DELETE:
             state.pop((e["conv_id"], e["turn_idx"]), None)
         else:  # INSERT / UPSERT — full-row replace

@@ -63,16 +63,19 @@ def _ts_to_str(v) -> str:
     return v.isoformat(sep=" ")
 
 
-def dead_by_watermark(watermarks: dict) -> "F.Column":
-    """Rows strictly older than a partition-drop watermark are dead — the
-    ONE definition shared by the read path (drop_predicate) and the apply
-    path (operators/apply.py), so the semantics cannot drift apart."""
+def dead_by_watermark(watermarks: dict, truncate_ts: str | None = None) -> "F.Column":
+    """Rows strictly older than a partition-drop watermark — or than the
+    table-level TRUNCATE watermark — are dead. The ONE definition shared
+    by the read path (drop_predicate) and the apply path
+    (operators/apply.py), so the semantics cannot drift apart."""
     pred = F.lit(False)
     for part, ts in watermarks.items():
         pred = pred | (
             (F.col("part") == int(part))
             & (F.col("ts") < F.lit(ts).cast("timestamp"))
         )
+    if truncate_ts is not None:
+        pred = pred | (F.col("ts") < F.lit(truncate_ts).cast("timestamp"))
     return pred
 
 
@@ -88,6 +91,10 @@ class Manifest:
     epochs: dict[str, str]  # epoch(str) -> snapshot_id
     added: list[str] = field(default_factory=list)  # columns from ADD_COLUMN
     summary: dict[str, Any] = field(default_factory=dict)
+    # table-level TRUNCATE watermark (iso ts): rows strictly older are dead
+    # (DropCollection analogue). None = never truncated. Declared last with
+    # a default so pre-truncate manifests keep parsing.
+    truncate_watermark: str | None = None
 
     def physical_schema(self) -> T.StructType:
         # System columns: `alive` — False rows are delete tombstones kept so
@@ -203,7 +210,7 @@ class SnapshotTable:
         else:
             # explicit schema → files from before an ADD_COLUMN read NULL
             df = spark.read.schema(schema).parquet(*paths)
-        if apply_drops and m.drop_watermarks:
+        if apply_drops and (m.drop_watermarks or m.truncate_watermark):
             df = df.filter(~self.drop_predicate(m))
         if not logical:
             return df
@@ -221,8 +228,9 @@ class SnapshotTable:
 
     @staticmethod
     def drop_predicate(m: Manifest):
-        """Rows strictly older than a partition-drop watermark are dead."""
-        return dead_by_watermark(m.drop_watermarks)
+        """Rows strictly older than a partition-drop or table-truncate
+        watermark are dead."""
+        return dead_by_watermark(m.drop_watermarks, m.truncate_watermark)
 
     # -- commit ----------------------------------------------------------
     def committed_epoch(self, epoch: int) -> bool:
@@ -236,6 +244,7 @@ class SnapshotTable:
         add_columns: list[tuple[str, str]] | None = None,
         renames: dict[str, str] | None = None,
         drop_watermarks: dict[int, str] | None = None,
+        truncate_watermark: str | None = None,
         summary_delta: dict[str, Any] | None = None,
         base: Manifest | None = None,
     ) -> Manifest:
@@ -274,6 +283,9 @@ class SnapshotTable:
         for part, ts in (drop_watermarks or {}).items():
             old = wm.get(str(part))
             wm[str(part)] = max(old, ts) if old else ts
+        trunc = m.truncate_watermark
+        if truncate_watermark is not None:
+            trunc = max(trunc, truncate_watermark) if trunc else truncate_watermark
         summary = dict(m.summary)
         for k, v in (summary_delta or {}).items():
             summary[k] = summary.get(k, 0) + v if isinstance(v, (int, float)) else v
@@ -292,6 +304,7 @@ class SnapshotTable:
             epochs=epochs,
             added=added,
             summary=summary,
+            truncate_watermark=trunc,
         )
         self._write_manifest(nm)
         return nm
@@ -310,13 +323,14 @@ class SnapshotTable:
         merge-on-read read cost) — the analogue of Iceberg's
         ``rewrite_data_files``.
 
-        Drop WATERMARKS are RETAINED by default even though the stored rows
-        they killed are physically gone: apply_batch still needs them to
-        defeat late-arriving DML older than the drop (the engine's
-        any-batch-order convergence invariant). ``clear_drop_watermarks=
-        True`` — like ``drop_tombstones=True`` for delete tombstones — is
-        only safe once the changelog guarantees no event older than the
-        watermark can still arrive (past the source's lag watermark)."""
+        Drop AND truncate WATERMARKS are RETAINED by default even though
+        the stored rows they killed are physically gone: apply_batch still
+        needs them to defeat late-arriving DML older than the drop (the
+        engine's any-batch-order convergence invariant).
+        ``clear_drop_watermarks=True`` — like ``drop_tombstones=True`` for
+        delete tombstones — is only safe once the changelog guarantees no
+        event older than the watermark can still arrive (past the
+        source's lag watermark)."""
         m = self.current()
         df = self.read(spark, manifest=m, logical=False)  # drops applied
         if drop_tombstones:
@@ -363,6 +377,7 @@ class SnapshotTable:
             epochs=dict(m.epochs),
             added=list(m.added),
             summary={**m.summary, "last_compaction_version": m.version},
+            truncate_watermark=None if clear_drop_watermarks else m.truncate_watermark,
         )
         self._write_manifest(nm)
         return nm

@@ -21,11 +21,19 @@ OP_INSERT = "INSERT"
 OP_UPSERT = "UPSERT"
 OP_DELETE = "DELETE"
 OP_DROP_PARTITION = "DROP_PARTITION"
+# table-level truncation — the DropCollectionMsg analogue (one of the four
+# whitelisted replicate message types, reference
+# core/reader/replicate_channel_manager.go:1162-1167; writer path
+# core/writer/channel_writer.go:430-465). Semantics mirror DROP_PARTITION
+# at table scope: every row with ts strictly older than the truncate event
+# is dead, enforced as a manifest watermark so late-arriving DML older
+# than the truncate still loses under any batch ordering.
+OP_TRUNCATE = "TRUNCATE"
 OP_ADD_COLUMN = "ADD_COLUMN"
 OP_RENAME_COLUMN = "RENAME_COLUMN"
 
 DML_OPS = (OP_INSERT, OP_UPSERT, OP_DELETE)
-DDL_OPS = (OP_DROP_PARTITION, OP_ADD_COLUMN, OP_RENAME_COLUMN)
+DDL_OPS = (OP_DROP_PARTITION, OP_TRUNCATE, OP_ADD_COLUMN, OP_RENAME_COLUMN)
 ALL_OPS = DML_OPS + DDL_OPS
 
 # Ordering rank at equal ts: DELETE applies before DROP_PARTITION applies
@@ -53,6 +61,14 @@ CHANGELOG_SCHEMA = T.StructType(
         # EnableDynamicField JSON bag, etcd_op.go:646-649)
         T.StructField("extra", T.MapType(T.StringType(), T.StringType()), True),
     ]
+)
+
+# multiplexed changelog: several collections share one ordered log, each
+# event tagged with its collection (reference: replicate messages for all
+# collections ride shared pchannels, replicate_channel_manager.go:1169-1491)
+MULTI_CHANGELOG_SCHEMA = T.StructType(
+    list(CHANGELOG_SCHEMA.fields)
+    + [T.StructField("table_name", T.StringType(), False)]
 )
 
 # --- target table (BASELINE.json input_hint + FIXTURES.md §1) ----------------

@@ -11,15 +11,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from milvus_cdc_spark.schemas import CHANGELOG_SCHEMA
+from milvus_cdc_spark.schemas import CHANGELOG_SCHEMA, MULTI_CHANGELOG_SCHEMA
 
 
-def read_changelog(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.schema(CHANGELOG_SCHEMA).parquet(path)
+def read_changelog(
+    spark: SparkSession, path: str, multi_table: bool = False
+) -> DataFrame:
+    schema = MULTI_CHANGELOG_SCHEMA if multi_table else CHANGELOG_SCHEMA
+    return spark.read.schema(schema).parquet(path)
 
 
 def read_changelog_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    multi_table: bool = False,
 ) -> DataFrame:
     """Tail the changelog directory as a file-source stream.
 
@@ -27,7 +33,8 @@ def read_changelog_stream(
     reference's bounded read channel (readChanLen: 10,
     /root/reference/doc/cdc-usage.md:81-82).
     """
-    reader = spark.readStream.schema(CHANGELOG_SCHEMA)
+    schema = MULTI_CHANGELOG_SCHEMA if multi_table else CHANGELOG_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(path)

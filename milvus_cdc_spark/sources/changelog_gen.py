@@ -45,6 +45,7 @@ def generate_changelog(
     ties_group: int = 4,
     evolve: bool = True,
     drops: bool = True,
+    truncates: bool = False,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Return an ``n``-row changelog DataFrame with CHANGELOG_SCHEMA."""
@@ -60,17 +61,22 @@ def generate_changelog(
     add_lsn = (n * 30) // 100 if evolve and n >= 20 else -1
     rename_lsn = (n * 75) // 100 if evolve and n >= 20 else -1
     drop_lsns = [(n * 55) // 100] if drops and n >= 20 else []
+    # TRUNCATE (DropCollection analogue) placed early enough that plenty
+    # of DML lands both before (killed) and after (survives)
+    truncate_lsn = (n * 40) // 100 if truncates and n >= 20 else -1
 
     is_add = c == F.lit(add_lsn) if add_lsn >= 0 else F.lit(False)
     is_rename = c == F.lit(rename_lsn) if rename_lsn >= 0 else F.lit(False)
     is_drop = c.isin(drop_lsns) if drop_lsns else F.lit(False)
-    is_ddl = is_add | is_rename | is_drop
+    is_truncate = c == F.lit(truncate_lsn) if truncate_lsn >= 0 else F.lit(False)
+    is_ddl = is_add | is_rename | is_drop | is_truncate
 
     hv = hmod(1, 100)
     op = (
         F.when(is_add, F.lit(S.OP_ADD_COLUMN))
         .when(is_rename, F.lit(S.OP_RENAME_COLUMN))
         .when(is_drop, F.lit(S.OP_DROP_PARTITION))
+        .when(is_truncate, F.lit(S.OP_TRUNCATE))
         .when(hv < delete_pct, F.lit(S.OP_DELETE))
         .when(hv < delete_pct + upsert_pct, F.lit(S.OP_UPSERT))
         .otherwise(F.lit(S.OP_INSERT))
@@ -111,6 +117,7 @@ def generate_changelog(
         F.when(is_add, F.lit('{"column":"tool_args","type":"string"}'))
         .when(is_rename, F.lit('{"from":"tool","to":"tool_name"}'))
         .when(is_drop, F.concat(F.lit('{"part":'), part, F.lit("}")))
+        .when(is_truncate, F.lit("{}"))
     )
 
     extra = F.when(
@@ -131,6 +138,38 @@ def generate_changelog(
         ddl_arg.alias("ddl_arg"),
         extra.alias("extra"),
     )
+
+
+def generate_multi_changelog(
+    spark: SparkSession,
+    n: int,
+    tables: list[str],
+    *,
+    seed: int = 42,
+    **kw,
+) -> DataFrame:
+    """Changelog for SEVERAL collections multiplexed into one ordered log —
+    the shape the reference's channel carries (every collection's replicate
+    messages ride shared pchannels, tagged with their collection;
+    /root/reference/core/reader/replicate_channel_manager.go:1169-1491).
+
+    Adds a ``table_name`` column; global lsn uniqueness is preserved by
+    striping: table i's local lsn L becomes L * len(tables) + i (order
+    within each table is preserved, so per-table replay semantics are
+    unchanged)."""
+    k = len(tables)
+    parts = []
+    for i, name in enumerate(tables):
+        df = generate_changelog(spark, n // k, seed=seed + 1000 * i, **kw)
+        parts.append(
+            df.withColumn("lsn", F.col("lsn") * k + i).withColumn(
+                "table_name", F.lit(name)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def write_changelog(df: DataFrame, path: str, n_files: int = 16) -> None:

@@ -1,13 +1,20 @@
-"""Task CLI — create / drain / status / compact, packaged for spark-submit.
+"""Task CLI — create / drain / tail / status / pause / resume / delete /
+list / compact / vacuum, packaged for spark-submit.
 
-The analogue of the reference's HTTP task API (create/pause/resume/get,
-/root/reference/server/cdc_api.go:26-36, doc/cdc-usage.md:104-132) as a
-driver-side command:
+The analogue of the reference's HTTP task API — all eight task verbs
+(create/delete/pause/resume/get/getPosition/list/maintenance,
+/root/reference/server/cdc_api.go:26-36, handlers
+server/handle_map.go:35-133) as driver-side commands:
 
     spark-submit --py-files milvus_cdc_spark.zip -m milvus_cdc_spark.streaming.cli \
         drain --log /data/changelog --table /lake/transcripts --checkpoint /ckpt/t1
 
 (locally: ``python -m milvus_cdc_spark.streaming.cli ...``)
+
+Cross-process lifecycle: ``create --name t1 --tasks-dir /tasks`` registers
+the task spec; ``pause``/``resume``/``delete``/``list`` operate on the
+registry from ANY process. Pause is a sentinel file the running task's
+poll loop honors at batch boundaries (streaming/registry.py).
 """
 
 from __future__ import annotations
@@ -15,62 +22,133 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 
-from milvus_cdc_spark.session import get_spark
-from milvus_cdc_spark.streaming.engine import CdcTask, run_until_drained
+from milvus_cdc_spark.streaming.registry import TaskRegistry
+
+TASK_COMMANDS = ("create", "drain", "status", "tail", "resume")
+NO_SPARK_COMMANDS = ("vacuum", "pause", "delete", "list")
+
+
+def _registry(a) -> TaskRegistry:
+    if not a.tasks_dir:
+        raise SystemExit(f"--tasks-dir is required for '{a.command}'")
+    return TaskRegistry(a.tasks_dir)
+
+
+def _spec_from_args(a, p) -> dict:
+    """Task spec from --name/--tasks-dir (registry) or explicit flags."""
+    if a.name and a.tasks_dir:
+        return TaskRegistry(a.tasks_dir).get(a.name)
+    if not (a.log and a.table and a.checkpoint):
+        p.error(
+            f"'{a.command}' needs either --name + --tasks-dir or "
+            "--log + --table + --checkpoint"
+        )
+    return {"log": a.log, "table": a.table, "checkpoint": a.checkpoint}
 
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="milvus_cdc_spark")
     p.add_argument(
-        "command", choices=["create", "drain", "status", "tail", "compact", "vacuum"]
+        "command",
+        choices=[
+            "create", "drain", "status", "tail", "pause", "resume",
+            "delete", "list", "compact", "vacuum",
+        ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
-    p.add_argument("--table", required=True, help="target SnapshotTable root")
+    p.add_argument("--table", help="target SnapshotTable root")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (task commands)")
+    p.add_argument("--name", help="task name in the registry")
+    p.add_argument("--tasks-dir", help="task registry directory")
+    p.add_argument("--drop-checkpoint", action="store_true",
+                   help="delete: also remove the checkpoint dir")
     p.add_argument("--master", default=None)
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--salt", type=int, default=None)
     p.add_argument("--n-buckets", type=int, default=16)
     p.add_argument("--duration-sec", type=float, default=60.0, help="tail runtime")
+    p.add_argument("--max-failures", type=int, default=3,
+                   help="fail-protect: failures per window before Paused")
+    p.add_argument("--fail-window-sec", type=float, default=60.0)
     a = p.parse_args(argv)
 
+    # ---- registry / filesystem commands (no Spark session) --------------
     if a.command == "vacuum":
-        # pure filesystem maintenance — no Spark session needed
         from milvus_cdc_spark.plans.manifest import SnapshotTable
 
-        print(json.dumps(SnapshotTable(a.table).vacuum()))
+        table = a.table or _spec_from_args(a, p)["table"]
+        print(json.dumps(SnapshotTable(table).vacuum()))
         return 0
-    if a.command in ("create", "drain", "status", "tail") and not (
-        a.log and a.checkpoint
-    ):
-        p.error(f"--log and --checkpoint are required for '{a.command}'")
+    if a.command == "pause":
+        reg = _registry(a)
+        reg.request_pause(a.name)
+        print(json.dumps({"name": a.name, "pause_requested": True}))
+        return 0
+    if a.command == "delete":
+        reg = _registry(a)
+        reg.delete(a.name, drop_checkpoint=a.drop_checkpoint)
+        print(json.dumps({"name": a.name, "deleted": True}))
+        return 0
+    if a.command == "list":
+        print(json.dumps(_registry(a).list()))
+        return 0
+
+    from milvus_cdc_spark.session import get_spark
+    from milvus_cdc_spark.streaming.engine import CdcTask, FailProtect
+
+    if a.command == "create" and a.name and a.tasks_dir:
+        if not (a.log and a.table and a.checkpoint):
+            p.error("'create' needs --log, --table and --checkpoint")
+        spec = TaskRegistry(a.tasks_dir).create(
+            a.name,
+            {
+                "log": a.log, "table": a.table, "checkpoint": a.checkpoint,
+                "max_files_per_trigger": a.max_files_per_trigger,
+                "salt_partitions": a.salt, "n_buckets": a.n_buckets,
+            },
+        )
+    else:
+        spec = _spec_from_args(a, p)
 
     spark = get_spark("milvus_cdc_spark_cli", master=a.master)
     kw = dict(
-        max_files_per_trigger=a.max_files_per_trigger,
-        salt_partitions=a.salt,
-        n_buckets=a.n_buckets,
+        max_files_per_trigger=spec.get("max_files_per_trigger", a.max_files_per_trigger),
+        salt_partitions=spec.get("salt_partitions", a.salt),
+        n_buckets=spec.get("n_buckets", a.n_buckets),
     )
+    task = CdcTask(spark, spec["log"], spec["table"], spec["checkpoint"], **kw)
+    protect = FailProtect(max_failures=a.max_failures, window_sec=a.fail_window_sec)
+
     if a.command == "create":
-        task = CdcTask(spark, a.log, a.table, a.checkpoint, **kw)
         print(json.dumps(task.status()))
-    elif a.command == "drain":
-        task = run_until_drained(spark, a.log, a.table, a.checkpoint, **kw)
-        print(json.dumps(task.status()))
+    elif a.command in ("drain", "resume"):
+        # resume = clear the pause signal, continue from the checkpoint
+        if a.name and a.tasks_dir:
+            TaskRegistry(a.tasks_dir).clear_pause(a.name)
+        ok = task.drain_protected(protect)
+        print(json.dumps({"drained": ok, **task.status()}))
+        return 0 if ok else 3
     elif a.command == "tail":
-        task = CdcTask(spark, a.log, a.table, a.checkpoint, **kw)
+        reg = TaskRegistry(a.tasks_dir) if a.name and a.tasks_dir else None
+        if reg:
+            reg.clear_pause(a.name)
         task.start()
-        task.query.awaitTermination(a.duration_sec)
+        deadline = time.time() + a.duration_sec
+        # poll loop: honor cross-process pause requests at ~3 Hz
+        while time.time() < deadline and task.query.isActive:
+            if reg and reg.pause_requested(a.name):
+                break
+            time.sleep(0.3)
         task.pause()
         print(json.dumps(task.status()))
     elif a.command == "status":
-        task = CdcTask(spark, a.log, a.table, a.checkpoint, **kw)
         print(json.dumps(task.status()))
     elif a.command == "compact":
         from milvus_cdc_spark.plans.manifest import SnapshotTable
 
-        m = SnapshotTable(a.table).compact(spark)
+        m = SnapshotTable(spec["table"]).compact(spark)
         print(json.dumps({"version": m.version, "snapshot_id": m.snapshot_id,
                           "n_files": sum(len(v) for v in m.files.values())}))
     return 0

@@ -122,6 +122,42 @@ class CdcTask:
             self._write_status("Paused", reason=self.last_error[:500])
             raise
 
+    def drain_protected(
+        self,
+        protect: FailProtect | None = None,
+        timeout_sec: float = 600.0,
+    ) -> bool:
+        """Drain with error-rate protection: restart after a transient
+        failure (checkpoint + per-epoch idempotence make the replay safe),
+        pause with reason once the failure rate trips ``protect``.
+
+        Returns True when fully drained, False when tripped to Paused.
+        """
+        protect = protect or FailProtect()
+        deadline = time.time() + timeout_sec
+        while True:
+            if self.query is None:
+                self.start(available_now=True)
+            try:
+                ok = self.query.awaitTermination(max(0.1, deadline - time.time()))
+                if ok:
+                    self._write_status("Stopped")
+                    return True
+                self.pause()  # wall timeout — stop cleanly
+                return False
+            except Exception as e:
+                self.query = None
+                self.last_error = str(e)
+                if protect.record_failure():
+                    self._write_status(
+                        "Paused",
+                        reason="fail-protect tripped "
+                        f"({protect.max_failures} failures in "
+                        f"{protect.window_sec}s): {self.last_error[:400]}",
+                    )
+                    return False
+                time.sleep(protect.backoff_sec)
+
     def status(self) -> dict[str, Any]:
         m = self.table.current()
         st = {"state": "Running" if self.query and self.query.isActive else "Stopped"}
@@ -149,6 +185,161 @@ class CdcTask:
                     {"persisted_state": state, "reason": reason, "ts": time.time()}
                 )
             )
+
+
+class FailProtect:
+    """Error-rate protection: a task keeps retrying transient failures,
+    but >= ``max_failures`` failures inside a sliding ``window_sec`` trip
+    it to Paused — the reference's writer fail-protection
+    (/root/reference/core/writer/fail_protect.go:28-99: per-window failure
+    counter + trip)."""
+
+    def __init__(
+        self,
+        max_failures: int = 3,
+        window_sec: float = 60.0,
+        backoff_sec: float = 0.5,
+    ):
+        self.max_failures = max_failures
+        self.window_sec = window_sec
+        self.backoff_sec = backoff_sec
+        self.failure_ts: list[float] = []
+
+    def record_failure(self, now: float | None = None) -> bool:
+        """Record one failure; True = tripped (stop retrying)."""
+        now = time.time() if now is None else now
+        self.failure_ts.append(now)
+        self.failure_ts = [t for t in self.failure_ts if now - t <= self.window_sec]
+        return len(self.failure_ts) >= self.max_failures
+
+
+class CollectionFilter:
+    """The should-read predicate at engine level: wildcard-or-list minus
+    excludes, the reference's task collection model (a task replicates N
+    named collections or '*' minus an exclude list,
+    /root/reference/server/cdc_impl.go:1195-1208).
+
+    ``includes=None`` means wildcard '*'."""
+
+    def __init__(
+        self, includes: list[str] | None = None, excludes: list[str] | tuple = ()
+    ):
+        self.includes = list(includes) if includes is not None else None
+        self.excludes = set(excludes)
+
+    def should_read(self, name: str) -> bool:
+        if name in self.excludes:
+            return False
+        return self.includes is None or name in self.includes
+
+    def predicate(self):
+        """Spark Column form — pushed into the micro-batch scan so
+        excluded collections' events are pruned before any shuffle."""
+        from pyspark.sql import functions as F
+
+        pred = F.lit(True)
+        if self.includes is not None:
+            pred = F.col("table_name").isin(*self.includes)
+        if self.excludes:
+            pred = pred & ~F.col("table_name").isin(*sorted(self.excludes))
+        return pred
+
+
+class MultiCdcTask:
+    """One replication task over a MULTIPLEXED changelog: N collections'
+    events ride one ordered log (``table_name`` column); each micro-batch
+    is split per collection and MERGEd into that collection's own
+    SnapshotTable under ``tables_root/<name>``.
+
+    The reference shape: a task owns several collection readers feeding
+    shared channels (server/cdc_impl.go:1195-1208 collection discovery +
+    should-read; core/reader/collection_reader.go). Exactly-once holds
+    PER TABLE: each table's manifest has its own epoch gate, so a batch
+    retried after a partial failure skips the tables that already
+    committed and applies the rest.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        changelog_path: str,
+        tables_root: str,
+        checkpoint_dir: str,
+        *,
+        collections: list[str] | None = None,
+        excludes: list[str] | tuple = (),
+        max_files_per_trigger: int | None = 4,
+        salt_partitions: int | None = None,
+        n_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.changelog_path = changelog_path
+        self.tables_root = tables_root
+        self.checkpoint_dir = checkpoint_dir
+        self.filter = CollectionFilter(collections, excludes)
+        self.max_files_per_trigger = max_files_per_trigger
+        self.salt_partitions = salt_partitions
+        self.n_buckets = n_buckets
+        self.tables: dict[str, SnapshotTable] = {}
+        self.query = None
+
+    def table(self, name: str) -> SnapshotTable:
+        """Idempotent create-on-first-event (reference skip-if-exists,
+        core/writer/milvus_handler.go:119-125)."""
+        t = self.tables.get(name)
+        if t is None:
+            t = SnapshotTable(os.path.join(self.tables_root, name))
+            if not t.exists():
+                t.create(TRANSCRIPTS_BASE_COLUMNS, n_buckets=self.n_buckets)
+            self.tables[name] = t
+        return t
+
+    def start(self, available_now: bool = False):
+        from pyspark.sql import functions as F
+
+        def _apply(batch_df, epoch_id: int):
+            files = batch_df.inputFiles()
+            if files:  # same plain-reader re-root as CdcTask.start
+                batch_df = self.spark.read.schema(batch_df.schema).parquet(*files)
+            batch_df = batch_df.filter(self.filter.predicate())
+            if self.filter.includes is not None:
+                names = [n for n in self.filter.includes if self.filter.should_read(n)]
+            else:  # wildcard: discover collections present in this batch
+                names = [
+                    r[0]
+                    for r in batch_df.select("table_name").distinct().collect()
+                    if self.filter.should_read(r[0])
+                ]
+            for name in sorted(names):
+                apply_batch(
+                    self.spark,
+                    self.table(name),
+                    batch_df.filter(F.col("table_name") == name).drop("table_name"),
+                    epoch_id,
+                    salt_partitions=self.salt_partitions,
+                )
+
+        stream = read_changelog_stream(
+            self.spark,
+            self.changelog_path,
+            self.max_files_per_trigger,
+            multi_table=True,
+        )
+        writer = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(f"cdc-multi:{os.path.basename(self.tables_root)}")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="1 second")
+        self.query = writer.start()
+        return self.query
+
+    def wait_drained(self, timeout_sec: float = 600.0) -> bool:
+        assert self.query is not None
+        return bool(self.query.awaitTermination(timeout_sec))
 
 
 def run_until_drained(

@@ -1,0 +1,110 @@
+"""Cross-process task registry + pause signalling.
+
+The reference keeps task metadata in etcd and serves eight HTTP verbs over
+it (/root/reference/server/cdc_api.go:26-36, handlers
+server/handle_map.go:35-133). Here the registry is a directory of JSON
+task specs — the durable piece a CLI in ANOTHER process needs to
+pause/resume/delete/list tasks it didn't start:
+
+- ``<tasks_dir>/<name>.json``    task spec (log, table, checkpoint, conf)
+- ``<checkpoint>/task_status.json``  persisted lifecycle state (written by
+  the running task — see engine.CdcTask._write_status)
+- ``<checkpoint>/PAUSE_REQUESTED``   pause signal: the process running the
+  task polls for it at batch boundaries and stops gracefully; resume
+  removes it and restarts from the streaming checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+PAUSE_SENTINEL = "PAUSE_REQUESTED"
+
+
+class TaskRegistry:
+    def __init__(self, tasks_dir: str):
+        self.tasks_dir = tasks_dir
+        os.makedirs(tasks_dir, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid task name: {name!r}")
+        return os.path.join(self.tasks_dir, f"{name}.json")
+
+    # -- CRUD (reference create/delete/get/list) -------------------------
+    def create(self, name: str, spec: dict[str, Any]) -> dict[str, Any]:
+        path = self._path(name)
+        if os.path.exists(path):
+            raise FileExistsError(f"task {name} already exists")
+        spec = {**spec, "name": name, "created_ts": time.time()}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(spec, indent=1))
+        os.replace(tmp, path)
+        return spec
+
+    def get(self, name: str) -> dict[str, Any]:
+        with open(self._path(name)) as f:
+            return json.loads(f.read())
+
+    def delete(self, name: str, drop_checkpoint: bool = False) -> None:
+        """Remove the task (signal pause first so a running process
+        stops). The TABLE is kept — deleting a replication task must not
+        destroy the replicated data (reference delete-task semantics)."""
+        spec = self.get(name)
+        self.request_pause(name)
+        os.remove(self._path(name))
+        if drop_checkpoint and spec.get("checkpoint"):
+            import shutil
+
+            shutil.rmtree(spec["checkpoint"], ignore_errors=True)
+
+    def list(self) -> list[dict[str, Any]]:
+        out = []
+        for fn in sorted(os.listdir(self.tasks_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.tasks_dir, fn)) as f:
+                    spec = json.loads(f.read())
+                spec["status"] = self.status(spec)
+                out.append(spec)
+        return out
+
+    # -- lifecycle signals (reference pause/resume) ----------------------
+    def _sentinel(self, spec_or_name) -> str:
+        spec = (
+            spec_or_name
+            if isinstance(spec_or_name, dict)
+            else self.get(spec_or_name)
+        )
+        return os.path.join(spec["checkpoint"], PAUSE_SENTINEL)
+
+    def request_pause(self, name: str) -> None:
+        spec = self.get(name) if isinstance(name, str) else name
+        os.makedirs(spec["checkpoint"], exist_ok=True)
+        with open(self._sentinel(spec), "w") as f:
+            f.write(str(time.time()))
+
+    def clear_pause(self, name: str) -> None:
+        try:
+            os.remove(self._sentinel(name))
+        except FileNotFoundError:
+            pass
+
+    def pause_requested(self, spec_or_name) -> bool:
+        return os.path.exists(self._sentinel(spec_or_name))
+
+    def status(self, spec: dict[str, Any]) -> dict[str, Any]:
+        st: dict[str, Any] = {"state": "Initial"}
+        status_path = os.path.join(spec["checkpoint"], "task_status.json")
+        if os.path.exists(status_path):
+            with open(status_path) as f:
+                persisted = json.loads(f.read())
+            st["state"] = persisted.get("persisted_state", "Initial")
+            if persisted.get("reason"):
+                st["reason"] = persisted["reason"]
+        if self.pause_requested(spec):
+            st["pause_requested"] = True
+        return st

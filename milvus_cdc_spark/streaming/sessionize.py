@@ -9,20 +9,24 @@ watermark machinery drives per-conversation session state: a session is a
 run of events for one ``conv_id`` with no event-time gap larger than
 ``gap_seconds``.
 
-Semantics:
-- events arriving within ``gap_seconds`` of the current session's end
-  extend it;
-- an event past the gap CLOSES the current session (emitted immediately
-  with that batch) and starts a new one;
-- a session with no successor event is closed by EVENT-TIME TIMEOUT once
-  the stream's watermark (min event time across partitions, the
-  GetMinTS analogue) passes ``session_end + gap`` — late data older than
-  the watermark cannot reopen it, which is exactly the reference's
-  min-ts alignment guarantee.
+Semantics (all emission is WATERMARK-GATED):
+- events arriving within ``gap_seconds`` of a pending session extend it;
+- a session is emitted only once the stream's watermark (min event time
+  across partitions, the GetMinTS analogue) strictly passes
+  ``session_end + gap`` — at that point no acceptable (above-watermark)
+  event can extend it, so an emitted session is FINAL: late-but-above-
+  watermark data cannot split or reopen it (it necessarily starts a new
+  session). Gap-closed sessions therefore wait in state alongside the
+  open tail until their horizon passes; ``closed_by`` records whether a
+  successor run existed ('gap') or the session was the conversation's
+  tail when its horizon expired ('timeout').
+- data older than the watermark is dropped by Spark before it reaches the
+  operator (standard stateful-streaming late-data rule).
 
-State per key is O(1) (start, end, count) — at 10^10 events the state
-store holds one tiny row per live conversation, and the shuffle is keyed
-by conv_id exactly like the dedup stage.
+State per key is O(#pending sessions) — bounded by (watermark delay /
+gap) + 1, typically one or two tiny interval rows per live conversation;
+at 10^10 events the state store still holds a few longs per conversation,
+and the shuffle is keyed by conv_id exactly like the dedup stage.
 """
 
 from __future__ import annotations
@@ -44,11 +48,12 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# pending sessions as parallel arrays, oldest first
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_us", T.LongType()),
-        T.StructField("end_us", T.LongType()),
-        T.StructField("n", T.LongType()),
+        T.StructField("starts_us", T.ArrayType(T.LongType())),
+        T.StructField("ends_us", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -62,6 +67,7 @@ def _session_fn(gap_seconds: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
     ) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
+        wm_us = state.getCurrentWatermarkMs() * 1000
 
         def row(start_us, end_us, n, closed_by):
             return {
@@ -72,48 +78,70 @@ def _session_fn(gap_seconds: int):
                 "closed_by": closed_by,
             }
 
-        if state.hasTimedOut:
-            start_us, end_us, n = state.get
-            state.remove()
-            yield pd.DataFrame([row(start_us, end_us, n, "timeout")])
-            return
-
-        # vectorized per-batch pre-aggregation: sort once, split into
-        # gap-separated runs with a cumsum over boolean gap breaks
-        ts = (
-            pd.concat([p["ts"] for p in pdfs])
-            .astype("datetime64[us]")
-            .sort_values()
-            .astype("int64")
-        )
-        if len(ts) == 0:
-            return
-        breaks = (ts.diff() > gap_us).cumsum().fillna(0)
-        runs = ts.groupby(breaks).agg(["min", "max", "count"])
-
-        # sweep-merge the batch's runs TOGETHER WITH the stored session as
-        # intervals sorted by start: a late (above-watermark) run that
-        # precedes the open session must satisfy the gap rule on BOTH
-        # sides — naively gluing anything with lo <= session_end + gap
-        # would merge arbitrarily-old late data into the session
-        intervals = [
-            [int(r["min"]), int(r["max"]), int(r["count"])]
-            for _, r in runs.iterrows()
-        ]
+        # gather intervals: stored pending sessions + this batch's runs
+        intervals: list[list[int]] = []
         if state.exists:
-            intervals.append(list(state.get))
+            starts, ends, ns = state.get
+            intervals = [list(t) for t in zip(starts, ends, ns)]
+        if not state.hasTimedOut:
+            # vectorized per-batch pre-aggregation: sort once, split into
+            # gap-separated runs with a cumsum over boolean gap breaks
+            ts = (
+                pd.concat([p["ts"] for p in pdfs])
+                .astype("datetime64[us]")
+                .sort_values()
+                .astype("int64")
+            )
+            if len(ts):
+                breaks = (ts.diff() > gap_us).cumsum().fillna(0)
+                runs = ts.groupby(breaks).agg(["min", "max", "count"])
+                intervals += [
+                    [int(r["min"]), int(r["max"]), int(r["count"])]
+                    for _, r in runs.iterrows()
+                ]
+        if not intervals:
+            if state.exists:
+                state.remove()
+            return
+
+        # sweep-merge as intervals sorted by start: a late (above-
+        # watermark) run must satisfy the gap rule on BOTH sides — naively
+        # gluing anything with lo <= end + gap would merge arbitrarily-old
+        # late data into a newer session
         intervals.sort()
-        out = []
-        cur = intervals[0]
+        merged = [intervals[0]]
         for lo, hi, n in intervals[1:]:
-            if lo - cur[1] <= gap_us:
-                cur = [cur[0], max(cur[1], hi), cur[2] + n]
+            if lo - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], hi)
+                merged[-1][2] += n
             else:
-                out.append(row(cur[0], cur[1], cur[2], "gap"))
-                cur = [lo, hi, n]
-        state.update((cur[0], cur[1], cur[2]))
-        # close by timeout once the watermark passes end + gap
-        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+                merged.append([lo, hi, n])
+
+        # emit only sessions whose horizon the watermark strictly passed:
+        # an event at ts == end + gap would still extend, so strict <
+        out = []
+        pending = []
+        for i, (lo, hi, n) in enumerate(merged):
+            if hi + gap_us < wm_us:
+                out.append(row(lo, hi, n, "gap" if i + 1 < len(merged) else "timeout"))
+            else:
+                pending.append([lo, hi, n])
+        if pending:
+            state.update(
+                (
+                    [p[0] for p in pending],
+                    [p[1] for p in pending],
+                    [p[2] for p in pending],
+                )
+            )
+            # wake when the earliest pending horizon expires; a horizon
+            # exactly AT the watermark (held by the strict-< rule) must be
+            # armed strictly above it or Spark rejects the timestamp
+            state.setTimeoutTimestamp(
+                max((pending[0][1] + gap_us) // 1000, wm_us // 1000 + 1)
+            )
+        elif state.exists:
+            state.remove()
         if out:
             yield pd.DataFrame(out)
 
@@ -126,7 +154,7 @@ def sessionize(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """events (streaming or batch-test DataFrame with conv_id, ts) →
-    append-mode stream of closed sessions."""
+    append-mode stream of FINAL (watermark-closed) sessions."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (

@@ -74,6 +74,8 @@ def drain_subprocess(cpus: int, work: str, tag: str) -> dict:
 
 
 def _drain_main(cpus: int, work: str, tag: str) -> None:
+    # explicit heap opts in to Xms/AlwaysPreTouch (see session.py)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     from milvus_cdc_spark.session import get_spark
     from milvus_cdc_spark.streaming.engine import run_until_drained
 

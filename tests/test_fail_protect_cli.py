@@ -1,0 +1,158 @@
+"""Error-rate protection (reference core/writer/fail_protect.go:28-99) and
+cross-process task lifecycle CLI (reference server/cdc_api.go:26-36)."""
+
+import json
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+import milvus_cdc_spark.streaming.engine as engine
+from milvus_cdc_spark.oracle import replay
+from milvus_cdc_spark.sources import generate_changelog, write_changelog
+from milvus_cdc_spark.streaming.engine import CdcTask, FailProtect
+from milvus_cdc_spark.streaming.registry import TaskRegistry
+
+
+def _write_log(spark, tmp_path, n=1200):
+    log_dir = str(tmp_path / "log")
+    write_changelog(
+        generate_changelog(spark, n, n_parts=4, n_convs=20, num_partitions=4),
+        log_dir,
+        n_files=4,
+    )
+    return log_dir
+
+
+def test_fail_protect_window_counter():
+    fp = FailProtect(max_failures=3, window_sec=10.0)
+    assert fp.record_failure(now=0.0) is False
+    assert fp.record_failure(now=1.0) is False
+    assert fp.record_failure(now=2.0) is True  # 3 failures in window
+    fp2 = FailProtect(max_failures=3, window_sec=10.0)
+    fp2.record_failure(now=0.0)
+    fp2.record_failure(now=1.0)
+    # the first two age out of the window → not tripped
+    assert fp2.record_failure(now=30.0) is False
+
+
+def test_transient_failures_retry_then_drain(spark, tmp_path, monkeypatch):
+    log_dir = _write_log(spark, tmp_path)
+    calls = {"n": 0}
+    real = engine.apply_batch
+
+    def flaky(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("transient sink error")
+        return real(*args, **kw)
+
+    monkeypatch.setattr(engine, "apply_batch", flaky)
+    task = CdcTask(
+        spark, log_dir, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+    )
+    ok = task.drain_protected(
+        FailProtect(max_failures=5, window_sec=60.0, backoff_sec=0.1)
+    )
+    assert ok, task.last_error
+    assert calls["n"] > 2  # retried through the transient failures
+    # drained state still matches the sequential oracle (idempotent replay)
+    rows = [r.asDict() for r in spark.read.parquet(log_dir).collect()]
+    want, cols = replay(rows)
+    got = task.table.read(spark)
+    assert got.count() == len(want)
+    scols = sorted(got.columns)
+    assert sorted(tuple(r[c] for c in scols) for r in got.collect()) == sorted(
+        tuple(r[c] for c in scols) for r in want
+    )
+
+
+def test_persistent_failures_trip_to_paused(spark, tmp_path, monkeypatch):
+    log_dir = _write_log(spark, tmp_path)
+
+    def always_fail(*args, **kw):
+        raise RuntimeError("sink permanently down")
+
+    monkeypatch.setattr(engine, "apply_batch", always_fail)
+    task = CdcTask(
+        spark, log_dir, str(tmp_path / "tableb"), str(tmp_path / "ckptb"),
+        max_files_per_trigger=2,
+    )
+    ok = task.drain_protected(
+        FailProtect(max_failures=3, window_sec=60.0, backoff_sec=0.05)
+    )
+    assert ok is False
+    st = task.status()
+    assert st["persisted_state"] == "Paused"
+    assert "fail-protect tripped" in st["reason"]
+
+
+def test_registry_crud_and_pause_signal(tmp_path):
+    reg = TaskRegistry(str(tmp_path / "tasks"))
+    spec = reg.create(
+        "t1", {"log": "/l", "table": "/t", "checkpoint": str(tmp_path / "ck")}
+    )
+    assert spec["name"] == "t1"
+    assert reg.get("t1")["table"] == "/t"
+    assert [t["name"] for t in reg.list()] == ["t1"]
+    assert reg.list()[0]["status"]["state"] == "Initial"
+    reg.request_pause("t1")
+    assert reg.pause_requested("t1")
+    assert reg.list()[0]["status"]["pause_requested"] is True
+    reg.clear_pause("t1")
+    assert not reg.pause_requested("t1")
+    reg.delete("t1")
+    assert reg.list() == []
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        reg.get("t1")
+
+
+def test_cli_lifecycle_roundtrip(spark, tmp_path):
+    """create → drain(resume path) → pause/list/delete via subprocess CLI —
+    the cross-process verbs the reference API exposes."""
+    log_dir = _write_log(spark, tmp_path, n=600)
+    tasks_dir = str(tmp_path / "tasks")
+    table = str(tmp_path / "clitable")
+    ckpt = str(tmp_path / "clickpt")
+    env = {**os.environ, "PYTHONPATH": "/root/repo", "SPARK_GRAFT_CPUS": "4"}
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "milvus_cdc_spark.streaming.cli", *args],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    st = cli(
+        "create", "--name", "t1", "--tasks-dir", tasks_dir,
+        "--log", log_dir, "--table", table, "--checkpoint", ckpt,
+        "--master", "local[2]",
+    )
+    assert st["epochs_committed"] == 0
+
+    # pause + list need no Spark and no running process
+    assert cli("pause", "--name", "t1", "--tasks-dir", tasks_dir)["pause_requested"]
+    listed = cli("list", "--tasks-dir", tasks_dir)
+    assert listed[0]["name"] == "t1" and listed[0]["status"]["pause_requested"]
+
+    # resume clears the signal and drains from the checkpoint
+    st = cli("resume", "--name", "t1", "--tasks-dir", tasks_dir, "--master", "local[2]")
+    assert st["drained"] is True and st["epochs_committed"] >= 1
+
+    st = cli("status", "--name", "t1", "--tasks-dir", tasks_dir, "--master", "local[2]")
+    assert st["persisted_state"] == "Stopped"
+
+    cli("delete", "--name", "t1", "--tasks-dir", tasks_dir, "--drop-checkpoint")
+    assert cli("list", "--tasks-dir", tasks_dir) == []
+    assert not os.path.exists(ckpt)
+    # the replicated table survives task deletion
+    rows = [r.asDict() for r in spark.read.parquet(log_dir).collect()]
+    want, _ = replay(rows)
+    from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+    assert SnapshotTable(table).read(spark).count() == len(want)
