@@ -122,6 +122,59 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
 
 
+def _q_cdc_multi_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for the multi-collection task model (reference
+    server/cdc_impl.go:1195-1208): a 3-collection multiplexed changelog is
+    drained by ONE MultiCdcTask subscribed '*' minus {'t2'}; the result is
+    the union of the replicated tables tagged by collection. Exercises
+    per-collection routing, idempotent create-on-first-event, and the
+    engine-level should-read filter."""
+    import shutil
+
+    from milvus_cdc_spark.sources.changelog_gen import write_changelog
+    from milvus_cdc_spark.streaming.engine import MultiCdcTask
+
+    # table = f(part) = f(user_id): each conversation lands in exactly one
+    # collection, as the reference's per-collection channels guarantee
+    log = _derive_changelog(spark, sf_dir).withColumn(
+        "table_name", F.concat(F.lit("t"), F.pmod(F.col("part"), F.lit(3)))
+    )
+    root = _probe_table_root(sf_dir, "multi")
+    shutil.rmtree(root, ignore_errors=True)
+    log_dir = os.path.join(root, "log")
+    write_changelog(log, log_dir, n_files=4)
+    task = MultiCdcTask(
+        spark, log_dir, os.path.join(root, "tables"), os.path.join(root, "ckpt"),
+        collections=None, excludes=["t2"], max_files_per_trigger=2, n_buckets=4,
+    )
+    task.start(available_now=True)
+    task.wait_drained()
+    out = None
+    for name in ("t0", "t1"):
+        df = task.table(name).read(spark).select(
+            F.lit(name).alias("table_name"),
+            "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn",
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+_ORACLE_MULTI_COLLECTION = f"""
+WITH log AS ({_DERIVE_SQL}),
+tagged AS (
+  SELECT *, 't' || CAST(part % 3 AS VARCHAR) AS table_name
+  FROM log),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY table_name, conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM tagged)
+SELECT table_name, conv_id, turn_idx, role, text, ts, part, lsn
+FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND table_name IN ('t0', 't1')
+"""
+
+
 def _q_cdc_table_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for W4/TRUNCATE (reference DropCollection, one of the
     four whitelisted replicate ops, replicate_channel_manager.go:1162-1167):
@@ -224,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ===== CDC engine inventory (SURVEY.md §2) =====
     q["cdc_final_state"] = _q_cdc_final_state
     q["cdc_table_truncate"] = _q_cdc_table_truncate
+    q["cdc_multi_collection"] = _q_cdc_multi_collection
 
     def cdc_op_whitelist(spark, sf):  # F1
         return (
@@ -537,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_final_state": _ORACLE_FINAL_STATE,
         "cdc_table_truncate": _ORACLE_TABLE_TRUNCATE,
+        "cdc_multi_collection": _ORACLE_MULTI_COLLECTION,
         "cdc_op_whitelist": """
             SELECT event_id, user_id, event_type FROM events
             WHERE event_type IN ('signup','purchase','error')""",

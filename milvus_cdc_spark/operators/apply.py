@@ -171,6 +171,15 @@ def _parse_ddl(
     return adds, renames, drops, truncate_ts
 
 
+def _strip_promoted(df: DataFrame, promoted: list[str]) -> DataFrame:
+    """Remove dynamic-bag keys whose values now live in typed columns;
+    an emptied map becomes NULL (narrow row fast path)."""
+    if not promoted:
+        return df
+    stripped = F.map_filter(F.col("extra"), lambda k, _v: ~k.isin(*promoted))
+    return df.withColumn("extra", F.when(F.size(stripped) > 0, stripped))
+
+
 def _new_drop_filter(drops: dict[int, str], truncate_ts: str | None = None):
     """Predicate keeping rows NOT strictly below a new drop/truncate
     watermark. Shares the dead-row definition with the read path
@@ -223,21 +232,14 @@ def apply_batch(
     # throughput)
     nb = m.n_buckets
     bucket_of = F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
-    # rollup (= grouping sets (part), ()) adds ONE grand-total row to the
-    # same single aggregation job: its count_distinct(lsn) is the GLOBAL
-    # distinct count the offset-integrity gate needs — a per-part sum
-    # would miss the same lsn landing in two parts (nothing in
-    # CHANGELOG_SCHEMA forces part to be a function of conv_id)
-    rolled = (
-        batch_df.rollup("part")
+    per_part = (
+        batch_df.groupBy("part")
         .agg(
-            F.grouping("part").alias("_total"),
             F.min("lsn").alias("start_lsn"),
             F.max("lsn").alias("end_lsn"),
             F.sum(F.when(F.col("op").isin(S.OP_INSERT, S.OP_UPSERT), 1).otherwise(0)).alias("n_insert"),
             F.sum(F.when(F.col("op") == S.OP_DELETE, 1).otherwise(0)).alias("n_delete"),
             F.sum(F.when(F.col("op").isin(*S.DDL_OPS), 1).otherwise(0)).alias("n_ddl"),
-            F.count_distinct(F.col("lsn")).alias("n_distinct_lsn"),
             F.collect_set(
                 F.when(F.col("op").isin(*S.DML_OPS), bucket_of)
             ).alias("buckets"),
@@ -250,8 +252,13 @@ def apply_batch(
         )
         .collect()
     )
-    total = next((r for r in rolled if r["_total"] == 1), None)
-    per_part = [r for r in rolled if r["_total"] == 0]
+    # GLOBAL distinct-lsn count as its OWN job: a distinct aggregate mixed
+    # into the per-part agg plans with an Expand that duplicates every row
+    # through the (wider) bookkeeping scan — measured 3.5-7x slower than
+    # this lsn-only scan (parquet prunes to one long column, two
+    # HashAggregates, no Expand). Global (not per-part summed) because
+    # nothing in CHANGELOG_SCHEMA forces a dedup key to stay in one part.
+    n_distinct = batch_df.agg(F.count_distinct("lsn")).collect()[0][0]
     ddl_rows = [d for r in per_part for d in r["ddl"]]
     adds, renames, new_drops, new_truncate = _parse_ddl(ddl_rows)
     touched = sorted({b for r in per_part for b in r["buckets"]})
@@ -263,9 +270,7 @@ def apply_batch(
     # contract (dedup_last_writer relies on GLOBALLY unique lsn — the
     # guarantee every WAL/binlog consumer has) — stop the task with a
     # reason rather than corrupt the table (reference pause-on-error,
-    # server/cdc_impl.go:972-1003). The grand-total row makes the check
-    # global: duplicates landing in DIFFERENT parts are caught too.
-    n_distinct = total["n_distinct_lsn"] if total is not None else 0
+    # server/cdc_impl.go:972-1003).
     if n_distinct != n_events:
         raise ValueError(
             f"epoch {epoch}: {n_events - n_distinct} duplicate lsn(s) in "
@@ -292,7 +297,12 @@ def apply_batch(
             c, F.col("extra").getItem(c).cast(col_types.get(c, "string"))
         )
     # the raw dynamic-field bag rides along so an ADD_COLUMN seen in a LATER
-    # batch can still recover values at read time (order-insensitive DDL)
+    # batch can still recover values at read time (order-insensitive DDL) —
+    # but keys already PROMOTED to typed columns are stripped (their value
+    # now lives in the column), so in the steady state (every dynamic field
+    # promoted) rows shuffle through dedup+merge with an empty/null map
+    # instead of dragging a per-row map payload
+    dml = _strip_promoted(dml, evolved_payload)
     carry_cols = payload_cols + ["extra"]
     actions = dedup_last_writer(dml, carry_cols, salt_partitions)
 
@@ -323,6 +333,18 @@ def apply_batch(
         for c, typ in adds:
             if c not in physical_cols:
                 target = target.withColumn(c, F.lit(None).cast(typ))
+        # promote stored dynamic-bag values into their typed columns and
+        # strip the promoted keys (mirrors the action side): rewritten
+        # buckets come out upgraded, and the logical read's coalesce
+        # becomes a no-op for them
+        for c in evolved_payload:
+            target = target.withColumn(
+                c,
+                F.coalesce(
+                    F.col(c), F.col("extra").getItem(c).cast(col_types.get(c, "string"))
+                ),
+            )
+        target = _strip_promoted(target, evolved_payload)
 
         t = target.select(
             F.col("conv_id"), F.col("turn_idx"),

@@ -34,11 +34,23 @@ class TaskRegistry:
             raise ValueError(f"invalid task name: {name!r}")
         return os.path.join(self.tasks_dir, f"{name}.json")
 
-    # -- CRUD (reference create/delete/get/list) -------------------------
+    # -- CRUD (reference create/delete/get/list; validation analogue of
+    # server/cdc_impl.go:186-362 — dup-collection checks, arg validation) -
     def create(self, name: str, spec: dict[str, Any]) -> dict[str, Any]:
         path = self._path(name)
         if os.path.exists(path):
             raise FileExistsError(f"task {name} already exists")
+        for req in ("log", "table", "checkpoint"):
+            if not spec.get(req):
+                raise ValueError(f"task spec missing required field: {req}")
+        # two tasks writing one table would break the single-writer commit
+        # protocol; sharing a checkpoint corrupts both streams' offsets
+        for other in self.list():
+            for field in ("table", "checkpoint"):
+                if os.path.normpath(other[field]) == os.path.normpath(spec[field]):
+                    raise ValueError(
+                        f"task {other['name']} already owns {field} {spec[field]}"
+                    )
         spec = {**spec, "name": name, "created_ts": time.time()}
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

@@ -111,6 +111,22 @@ def test_registry_crud_and_pause_signal(tmp_path):
         reg.get("t1")
 
 
+def test_registry_create_validation(tmp_path):
+    import pytest
+
+    reg = TaskRegistry(str(tmp_path / "tasks"))
+    with pytest.raises(ValueError, match="missing required field"):
+        reg.create("bad", {"log": "/l", "table": "/t"})
+    reg.create("a", {"log": "/l", "table": "/t1", "checkpoint": str(tmp_path / "c1")})
+    with pytest.raises(FileExistsError):
+        reg.create("a", {"log": "/l", "table": "/tx", "checkpoint": str(tmp_path / "cx")})
+    with pytest.raises(ValueError, match="owns table"):
+        reg.create("b", {"log": "/l2", "table": "/t1", "checkpoint": str(tmp_path / "c2")})
+    with pytest.raises(ValueError, match="owns checkpoint"):
+        reg.create("c", {"log": "/l2", "table": "/t2", "checkpoint": str(tmp_path / "c1")})
+    reg.create("d", {"log": "/l", "table": "/t2", "checkpoint": str(tmp_path / "c2")})
+
+
 def test_cli_lifecycle_roundtrip(spark, tmp_path):
     """create → drain(resume path) → pause/list/delete via subprocess CLI —
     the cross-process verbs the reference API exposes."""

@@ -82,6 +82,29 @@ def test_bucket_pruning_scans_only_requested_buckets(spark, tmp_path):
     assert files == {f"bucket={some[0]}"}, files
 
 
+def test_emb_neardup_lsh_has_no_cartesian(spark):
+    """The bucketed embedding near-dup is the 100 TB path: candidates come
+    from an equi-join on (table, bucket) — any cartesian/nested-loop stage
+    means the O(n²) baseline leaked back in."""
+    from milvus_cdc_spark.operators.dedup import embedding_neardup_lsh_pairs
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_neardup_lsh_pairs(e, threshold_micro=400000))
+    assert "CartesianProduct" not in plan, "bucketed near-dup went quadratic"
+    assert "BroadcastNestedLoopJoin" not in plan, "bucketed near-dup went quadratic"
+
+
+def test_ann_lsh_and_ivf_have_no_cartesian_on_corpus(spark):
+    """LSH/IVF candidate generation must join on bucket/cell keys; only
+    the tiny centroid cross (16 rows, broadcast) may nest."""
+    from milvus_cdc_spark.operators.similarity import lsh_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    plan = _plan(lsh_topk(q, e, k=3, n_planes=3))
+    assert "CartesianProduct" not in plan
+
+
 def test_session_has_aqe_and_arrow(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
