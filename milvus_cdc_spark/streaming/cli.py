@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -54,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
         "command",
         choices=[
             "create", "drain", "status", "tail", "pause", "resume",
-            "delete", "list", "compact", "vacuum",
+            "delete", "list", "position", "compact", "vacuum",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -93,6 +94,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if a.command == "list":
         print(json.dumps(_registry(a).list()))
+        return 0
+    if a.command == "position":
+        if a.name and a.tasks_dir:
+            print(json.dumps(_registry(a).position(a.name)))
+        else:
+            spec = _spec_from_args(a, p)
+            print(json.dumps(TaskRegistry(os.path.dirname(spec["checkpoint"]) or ".").position(spec)))
         return 0
 
     from milvus_cdc_spark.session import get_spark

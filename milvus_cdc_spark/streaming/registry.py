@@ -108,6 +108,66 @@ class TaskRegistry:
     def pause_requested(self, spec_or_name) -> bool:
         return os.path.exists(self._sentinel(spec_or_name))
 
+    def position(self, spec_or_name) -> dict[str, Any]:
+        """Source-offset → sink-snapshot position report (the reference's
+        ``getPosition`` verb, server/cdc_api.go:26-36: task positions =
+        consumed MQ offsets per channel). No Spark session: reads the
+        streaming checkpoint's commit/offset log, the table manifest, and
+        the per-partition lineage parquet directly."""
+        spec = (
+            spec_or_name
+            if isinstance(spec_or_name, dict)
+            else self.get(spec_or_name)
+        )
+        out: dict[str, Any] = {"name": spec.get("name")}
+        commits_dir = os.path.join(spec["checkpoint"], "commits")
+        batches = (
+            [int(f) for f in os.listdir(commits_dir) if f.isdigit()]
+            if os.path.isdir(commits_dir)
+            else []
+        )
+        if batches:
+            last = max(batches)
+            out["last_committed_batch"] = last
+            # offsets/<batch>: line 1 = version, line 2 = batch metadata,
+            # line 3+ = one offset JSON per source
+            off_path = os.path.join(spec["checkpoint"], "offsets", str(last))
+            if os.path.exists(off_path):
+                lines = open(off_path).read().strip().splitlines()
+                try:
+                    out["source_offsets"] = [json.loads(ln) for ln in lines[2:]]
+                except json.JSONDecodeError:
+                    out["source_offsets"] = lines[2:]
+        cur = os.path.join(spec["table"], "meta", "CURRENT")
+        if os.path.exists(cur):
+            with open(cur) as f:
+                v = int(f.read().strip())
+            with open(os.path.join(spec["table"], "meta", f"v{v}.json")) as f:
+                m = json.loads(f.read())
+            out["table"] = {
+                "version": v,
+                "snapshot_id": m["snapshot_id"],
+                "epochs_committed": len(m["epochs"]),
+                "last_epoch": m.get("summary", {}).get("last_epoch"),
+            }
+            lin_dir = os.path.join(spec["table"], "lineage")
+            if os.path.isdir(lin_dir):
+                import pyarrow.dataset as ds
+
+                t = ds.dataset(lin_dir, format="parquet").to_table(
+                    columns=["part", "end_lsn"]
+                )
+                ends: dict[int, int] = {}
+                for part, end in zip(
+                    t.column("part").to_pylist(), t.column("end_lsn").to_pylist()
+                ):
+                    if end is not None and (part not in ends or end > ends[part]):
+                        ends[part] = end
+                out["applied_end_lsn_per_part"] = {
+                    str(k): v for k, v in sorted(ends.items())
+                }
+        return out
+
     def status(self, spec: dict[str, Any]) -> dict[str, Any]:
         st: dict[str, Any] = {"state": "Initial"}
         status_path = os.path.join(spec["checkpoint"], "task_status.json")

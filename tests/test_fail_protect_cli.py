@@ -127,6 +127,25 @@ def test_registry_create_validation(tmp_path):
     reg.create("d", {"log": "/l", "table": "/t2", "checkpoint": str(tmp_path / "c2")})
 
 
+def test_position_reports_offsets_and_lineage(spark, tmp_path):
+    """getPosition analogue: source offsets from the streaming checkpoint
+    + applied lsn watermarks per part from lineage — no Spark session."""
+    log_dir = _write_log(spark, tmp_path, n=800)
+    table = str(tmp_path / "ptable")
+    ckpt = str(tmp_path / "pckpt")
+    from milvus_cdc_spark.streaming.engine import run_until_drained
+
+    run_until_drained(spark, log_dir, table, ckpt, max_files_per_trigger=2)
+    reg = TaskRegistry(str(tmp_path / "tasks"))
+    reg.create("p1", {"log": log_dir, "table": table, "checkpoint": ckpt})
+    pos = reg.position("p1")
+    assert pos["last_committed_batch"] >= 1
+    assert pos["source_offsets"], pos
+    assert pos["table"]["epochs_committed"] == pos["last_committed_batch"] + 1
+    ends = pos["applied_end_lsn_per_part"]
+    assert ends and max(ends.values()) == 799  # highest applied offset
+
+
 def test_cli_lifecycle_roundtrip(spark, tmp_path):
     """create → drain(resume path) → pause/list/delete via subprocess CLI —
     the cross-process verbs the reference API exposes."""
