@@ -122,6 +122,27 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
 
 
+def _q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for W6 maintenance (Iceberg rewrite_data_files +
+    expire_snapshots analogues, reference flush/compact ops
+    manifest.py:300-421): apply 2 epochs, COMPACT every bucket, VACUUM to
+    one retained version — the logical state must be byte-identical to
+    the plain replay, which is exactly what the oracle checks."""
+    log = _derive_changelog(spark, sf_dir)
+    root = _probe_table_root(sf_dir, "maintenance")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    apply_batch(spark, table, log.filter(F.col("lsn") <= mid), epoch=0)
+    apply_batch(spark, table, log.filter(F.col("lsn") > mid), epoch=1)
+    table.compact(spark)
+    table.vacuum(keep_versions=1, min_age_sec=0.0)
+    return table.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn"
+    )
+
+
 def _q_cdc_multi_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for the multi-collection task model (reference
     server/cdc_impl.go:1195-1208): a 3-collection multiplexed changelog is
@@ -278,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_final_state"] = _q_cdc_final_state
     q["cdc_table_truncate"] = _q_cdc_table_truncate
     q["cdc_multi_collection"] = _q_cdc_multi_collection
+    q["cdc_maintenance"] = _q_cdc_maintenance
 
     def cdc_op_whitelist(spark, sf):  # F1
         return (
@@ -592,6 +614,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _ORACLE_FINAL_STATE,
         "cdc_table_truncate": _ORACLE_TABLE_TRUNCATE,
         "cdc_multi_collection": _ORACLE_MULTI_COLLECTION,
+        # maintenance must be logically invisible → same oracle as the
+        # plain replay
+        "cdc_maintenance": _ORACLE_FINAL_STATE,
         "cdc_op_whitelist": """
             SELECT event_id, user_id, event_type FROM events
             WHERE event_type IN ('signup','purchase','error')""",

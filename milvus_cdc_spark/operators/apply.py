@@ -172,12 +172,17 @@ def _parse_ddl(
 
 
 def _strip_promoted(df: DataFrame, promoted: list[str]) -> DataFrame:
-    """Remove dynamic-bag keys whose values now live in typed columns;
-    an emptied map becomes NULL (narrow row fast path)."""
+    """Remove dynamic-bag keys whose values now live in typed columns.
+
+    Null maps pass through untouched (map_filter(NULL) = NULL). A map
+    that empties stays an empty map rather than NULL: map_filter is a
+    CodegenFallback expression, and wrapping it in ``when(size(...)>0)``
+    would evaluate the filter twice per row on the interpreted path."""
     if not promoted:
         return df
-    stripped = F.map_filter(F.col("extra"), lambda k, _v: ~k.isin(*promoted))
-    return df.withColumn("extra", F.when(F.size(stripped) > 0, stripped))
+    return df.withColumn(
+        "extra", F.map_filter(F.col("extra"), lambda k, _v: ~k.isin(*promoted))
+    )
 
 
 def _new_drop_filter(drops: dict[int, str], truncate_ts: str | None = None):
