@@ -130,9 +130,14 @@ def minhash_lsh_pairs(
             "id", "sh", TXT.minhash_from_shingles(F.col("sh"), n_hashes).alias("sig")
         )
     )
+    # candidate generation on IDS ONLY: carrying the shingle arrays
+    # through the banded self-join would replicate every array `bands`
+    # times through the join + pair-dedup shuffles; instead the skinny
+    # (id, band, bucket) rows shuffle, and the arrays are fetched back
+    # with two id-keyed joins against the (persisted) base — one array
+    # copy per side, independent of band count
     banded = base.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -152,7 +157,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -162,16 +167,18 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = base.select("id", "sh")
+    pairs = (
+        cand.join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = (inter * 1000 / union).cast("bigint")
-    return cand.select(
+    return pairs.select(
         "doc_a", "doc_b", jac.alias("jaccard_milli")
     ).filter(F.col("jaccard_milli") >= threshold_milli)
 
@@ -262,11 +269,12 @@ def embedding_neardup_lsh_pairs(
     base = (scope or default_scope()).persist(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
+    # ids-only candidate generation (same rationale as minhash_lsh_pairs:
+    # never replicate the vectors through the per-table bucket join)
     banded = None
     for t in range(n_tables):
         tab = base.select(
             "id",
-            "v",
             F.lit(t).alias("tab"),
             _bucket_expr("v", dim, n_planes, plane_offset=t * n_planes).alias("bucket"),
         )
@@ -279,16 +287,17 @@ def embedding_neardup_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
-            F.col("a.v").alias("v_a"), F.col("b.v").alias("v_b"),
-        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
     from milvus_cdc_spark.functions.vectors import cosine_milli
 
+    pairs = (
+        cand.join(base.select(F.col("id").alias("doc_a"), F.col("v").alias("v_a")), "doc_a")
+        .join(base.select(F.col("id").alias("doc_b"), F.col("v").alias("v_b")), "doc_b")
+    )
     return (
-        cand.select(
+        pairs.select(
             "doc_a", "doc_b", cosine_milli(F.col("v_a"), F.col("v_b")).alias("cosine_micro")
         )
         .filter(F.col("cosine_micro") >= threshold_micro)
