@@ -122,6 +122,42 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
 
 
+def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for snapshot time travel (manifest versioning — the
+    Iceberg snapshot-read analogue, plans/manifest.py:121): apply TWO
+    epochs but read AT the version committed by epoch 0; the second
+    epoch's rows must be invisible, which the oracle checks by replaying
+    only the first half of the log."""
+    log = _derive_changelog(spark, sf_dir)
+    root = _probe_table_root(sf_dir, "time_travel")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    apply_batch(spark, table, log.filter(F.col("lsn") <= mid), epoch=0)
+    v_after_e0 = table.current().version
+    apply_batch(spark, table, log.filter(F.col("lsn") > mid), epoch=1)
+    old = table.at_version(v_after_e0)
+    return table.read(spark, manifest=old).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn"
+    )
+
+
+_ORACLE_TIME_TRAVEL = f"""
+WITH log0 AS ({_DERIVE_SQL}),
+log AS (SELECT * FROM log0
+        WHERE lsn <= (SELECT CAST(FLOOR(MAX(lsn) / 2) AS BIGINT) FROM log0)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log)
+SELECT conv_id, turn_idx, role, text, ts, part, lsn
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+"""
+
+
 def _q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for W6 maintenance (Iceberg rewrite_data_files +
     expire_snapshots analogues, reference flush/compact ops
@@ -300,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_table_truncate"] = _q_cdc_table_truncate
     q["cdc_multi_collection"] = _q_cdc_multi_collection
     q["cdc_maintenance"] = _q_cdc_maintenance
+    q["cdc_time_travel"] = _q_cdc_time_travel
 
     def cdc_op_whitelist(spark, sf):  # F1
         return (
@@ -617,6 +654,7 @@ def oracle_sql() -> dict[str, str]:
         # maintenance must be logically invisible → same oracle as the
         # plain replay
         "cdc_maintenance": _ORACLE_FINAL_STATE,
+        "cdc_time_travel": _ORACLE_TIME_TRAVEL,
         "cdc_op_whitelist": """
             SELECT event_id, user_id, event_type FROM events
             WHERE event_type IN ('signup','purchase','error')""",

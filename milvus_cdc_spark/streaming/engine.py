@@ -239,7 +239,11 @@ class CollectionFilter:
 
         pred = F.lit(True)
         if self.includes is not None:
-            pred = F.col("table_name").isin(*self.includes)
+            pred = (
+                F.col("table_name").isin(*self.includes)
+                if self.includes
+                else F.lit(False)  # explicit empty subscription reads nothing
+            )
         if self.excludes:
             pred = pred & ~F.col("table_name").isin(*sorted(self.excludes))
         return pred
