@@ -76,6 +76,53 @@ def test_pause_resume_from_checkpoint(spark, tmp_path):
     assert _table_tuples(spark, t2) == _oracle_tuples(spark, log)
 
 
+def test_live_tail_picks_up_new_files(spark, tmp_path):
+    """Continuous-trigger tail: files appended WHILE the query runs are
+    discovered and applied — the MQ-subscribe behavior of the reference's
+    reader (core/reader/stream_creator.go:39-159), modeled by the file
+    source's directory polling."""
+    import os
+    import shutil
+    import time
+
+    log = str(tmp_path / "log")
+    staging = str(tmp_path / "staging")
+    write_changelog(
+        generate_changelog(spark, N, n_parts=4, n_convs=40, turns_per_conv=20),
+        staging,
+        n_files=8,
+    )
+    files = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    os.makedirs(log)
+    for f in files[:4]:
+        shutil.copy(os.path.join(staging, f), os.path.join(log, f))
+
+    task = CdcTask(
+        spark, log, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, n_buckets=8,
+    )
+    task.start()  # processingTime trigger — keeps polling
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if len(task.table.current().epochs) >= 2:
+                break
+            time.sleep(0.5)
+        # late files arrive while the query is live
+        for f in files[4:]:
+            shutil.copy(os.path.join(staging, f), os.path.join(log, f))
+        want = _oracle_tuples(spark, staging)
+        got = None
+        while time.time() < deadline:
+            got = _table_tuples(spark, task)
+            if got == want:
+                break
+            time.sleep(1.0)
+        assert got == want, "live tail did not converge on appended files"
+    finally:
+        task.pause()
+
+
 def test_status_reports_progress(spark, tmp_path):
     log = str(tmp_path / "log")
     write_changelog(generate_changelog(spark, 500, n_parts=2), log, n_files=2)
