@@ -194,6 +194,96 @@ def _new_drop_filter(drops: dict[int, str], truncate_ts: str | None = None):
     return ~dead_by_watermark(drops, truncate_ts)
 
 
+def merge_actions(
+    target: DataFrame,
+    actions: DataFrame,
+    carry_cols: list[str],
+    n_buckets: int,
+    write_factor: int,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Full-outer MERGE of surviving actions into the stored bucket scan —
+    planned as ONE shuffle of each side and ZERO shuffles of the merged
+    output.
+
+    Both sides are pre-partitioned on ``(_bucket, _wsalt)`` — bucket =
+    ``pmod(xxhash64(conv_id), n_buckets)`` (the table layout key) and a
+    conv-derived write salt — and those two columns are ADDED TO THE JOIN
+    KEYS. They are pure functions of ``conv_id`` (already a key), so the
+    extra keys change nothing semantically, but they make the children's
+    partitioning a subset of the join keys: with
+    ``spark.sql.requireAllClusterKeysForCoPartition=false`` (session.py)
+    the shuffled-hash join reuses it, and the join OUTPUT is already
+    hash-partitioned exactly the way the bucket-partitioned write wants.
+    The previous shape (join on (conv_id, turn_idx), then
+    ``repartition(bucket, _wsalt)`` before the write) moved every merged
+    row through a third full-width Exchange — the dominant epoch cost.
+
+    Skew: post-dedup rows are ≤ turns_per_conv per conversation (one
+    winner per key), so grouping a conversation's rows into one partition
+    is bounded — unlike the EVENT-level dedup join, which must stay keyed
+    on (key, ord) (see dedup_last_writer).
+
+    Returns columns: conv_id, turn_idx, *carry_cols, ts, part, lsn,
+    alive, _bucket — partitioned by (_bucket, _wsalt) hash, ready to
+    ``write.partitionBy("bucket")`` with no further repartition.
+    """
+    bucket_of = F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    wsalt = F.pmod(F.xxhash64("conv_id", F.lit(7)), F.lit(write_factor)).cast("int")
+    # n_parts defaults to the distinct-combo count; a bucket-pruned caller
+    # passes len(touched)*write_factor so small batches don't pay empty tasks
+    n_parts = n_parts or n_buckets * write_factor
+    t = target.select(
+        bucket_of.alias("_bucket"), wsalt.alias("_wsalt"),
+        F.col("conv_id"), F.col("turn_idx"),
+        F.coalesce(F.col("alive"), F.lit(True)).alias("t_alive"),
+        *[F.col(c).alias(f"t_{c}") for c in ["ts", "lsn", "part"] + carry_cols],
+    ).repartition(n_parts, "_bucket", "_wsalt")
+    a = actions.select(
+        bucket_of.alias("_bucket"), wsalt.alias("_wsalt"),
+        F.col("conv_id"), F.col("turn_idx"),
+        *[F.col(c).alias(f"a_{c}") for c in ["op", "ts", "lsn", "part"] + carry_cols],
+    ).repartition(n_parts, "_bucket", "_wsalt")
+    # SHUFFLE_HASH: both sides are unique per key, so the join cannot
+    # skew, and hashing avoids SMJ's full sort of wide payload rows
+    j = t.join(
+        a.hint("shuffle_hash"),
+        on=["_bucket", "_wsalt", "conv_id", "turn_idx"],
+        how="full_outer",
+    )
+    a_here = F.col("a_lsn").isNotNull()
+    t_here = F.col("t_lsn").isNotNull()
+    # stored tombstones compare with DELETE rank, live rows with UPSERT rank
+    t_rank = (
+        F.when(F.col("t_alive"), F.lit(S.RANK_UPSERT))
+        .otherwise(F.lit(S.RANK_DELETE))
+        .cast("int")
+    )
+    a_wins = a_here & (
+        ~t_here
+        | (
+            F.struct(F.col("a_ts"), _rank_col(F.col("a_op")), F.col("a_lsn"))
+            > F.struct(F.col("t_ts"), t_rank, F.col("t_lsn"))
+        )
+    )
+    # DELETE winners persist as tombstones (alive=false) so later batches
+    # carrying OLDER (ts, lsn) inserts still lose — apply is commutative
+    # across any batching of the log
+    alive = F.when(a_wins, F.col("a_op") != S.OP_DELETE).otherwise(
+        F.coalesce(F.col("t_alive"), F.lit(True))
+    )
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        *[
+            F.when(a_wins, F.col(f"a_{c}")).otherwise(F.col(f"t_{c}")).alias(c)
+            for c in carry_cols + ["ts", "part", "lsn"]
+        ],
+        alive.alias("alive"),
+        "_bucket",
+    )
+
+
 def apply_batch(
     spark: SparkSession,
     table: SnapshotTable,
@@ -351,75 +441,34 @@ def apply_batch(
             )
         target = _strip_promoted(target, evolved_payload)
 
-        t = target.select(
-            F.col("conv_id"), F.col("turn_idx"),
-            F.coalesce(F.col("alive"), F.lit(True)).alias("t_alive"),
-            *[F.col(c).alias(f"t_{c}") for c in ["ts", "lsn", "part"] + carry_cols],
-        )
-        a = actions.select(
-            F.col("conv_id"), F.col("turn_idx"),
-            *[F.col(c).alias(f"a_{c}") for c in ["op", "ts", "lsn", "part"] + carry_cols],
-        )
-        # SHUFFLE_HASH: both sides are unique per key, so the join cannot
-        # skew, and hashing avoids SMJ's full sort of wide payload rows
-        j = t.join(a.hint("shuffle_hash"), on=["conv_id", "turn_idx"], how="full_outer")
-        a_here = F.col("a_lsn").isNotNull()
-        t_here = F.col("t_lsn").isNotNull()
-        # stored tombstones compare with DELETE rank, live rows with UPSERT rank
-        t_rank = (
-            F.when(F.col("t_alive"), F.lit(S.RANK_UPSERT))
-            .otherwise(F.lit(S.RANK_DELETE))
-            .cast("int")
-        )
-        a_wins = a_here & (
-            ~t_here
-            | (
-                F.struct(F.col("a_ts"), _rank_col(F.col("a_op")), F.col("a_lsn"))
-                > F.struct(F.col("t_ts"), t_rank, F.col("t_lsn"))
-            )
-        )
-        # DELETE winners persist as tombstones (alive=false) so later batches
-        # carrying OLDER (ts, lsn) inserts still lose — apply is commutative
-        # across any batching of the log
-        alive = F.when(a_wins, F.col("a_op") != S.OP_DELETE).otherwise(
-            F.coalesce(F.col("t_alive"), F.lit(True))
-        )
-        merged = j.select(
-            "conv_id",
-            "turn_idx",
-            *[
-                F.when(a_wins, F.col(f"a_{c}")).otherwise(F.col(f"t_{c}")).alias(c)
-                for c in carry_cols + ["ts", "part", "lsn"]
-            ],
-            alive.alias("alive"),
-            F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int").alias("_bucket"),
-        )
-
         out_dir_rel = os.path.join("data", f"e{epoch}")
         out_dir = os.path.join(table.root, out_dir_rel)
         ordered_cols = [c for c, _ in m.columns] + [
             c for c, _ in adds if c not in physical_cols
         ] + ["alive", "extra"]
-        # write parallelism must not be capped by bucket count: salt the
-        # shuffle key so every core gets a writer task (each task still
-        # emits whole-bucket files via partitionBy; files per bucket ≈
-        # write_factor, bounded so the table never fragments)
+        # write parallelism must not be capped by bucket count: the merge
+        # shuffle key carries a conv-derived salt so every core gets a
+        # writer task (each task still emits whole-bucket files via
+        # partitionBy; files per bucket ≈ write_factor, bounded so the
+        # table never fragments)
         cores = spark.sparkContext.defaultParallelism
         write_factor = max(1, min(8, (2 * cores) // max(1, len(touched))))
+        merged = merge_actions(
+            target, actions, carry_cols, nb, write_factor,
+            n_parts=len(touched) * write_factor,
+        )
         # table stats ride the write job itself (Observation = accumulator
         # metrics collected during the action) — no second pass over data
+        import uuid
+
         from pyspark.sql import Observation
 
-        obs = Observation(f"apply_e{epoch}")
+        # unique per (table, epoch, attempt): MultiCdcTask applies several
+        # tables' epochs CONCURRENTLY, and observation names must not
+        # collide across simultaneously-active jobs on one session
+        obs = Observation(f"apply_e{epoch}_{uuid.uuid4().hex[:8]}")
         (
-            merged.select(*ordered_cols, "_bucket")
-            .withColumnRenamed("_bucket", "bucket")
-            .withColumn(
-                "_wsalt",
-                F.pmod(F.xxhash64("conv_id", F.lit(7)), F.lit(write_factor)),
-            )
-            .repartition(len(touched) * write_factor, "bucket", "_wsalt")
-            .drop("_wsalt")
+            merged.select(*ordered_cols, F.col("_bucket").alias("bucket"))
             .observe(
                 obs,
                 F.sum(F.col("alive").cast("long")).alias("k"),
@@ -471,6 +520,16 @@ def apply_batch(
             )
         met_dir = os.path.join(table.root, "metrics")
         os.makedirs(met_dir, exist_ok=True)
+        now = time.time()
+        # end-to-end lag gauge (reference replicate_tt lag,
+        # server/metrics/metrics.go:107-137): wall clock at commit minus the
+        # newest event ts merged this epoch. max_ts is a naive UTC datetime
+        # (session TZ is pinned UTC in session.py).
+        lag_sec = None
+        if max_ts is not None:
+            from datetime import timezone
+
+            lag_sec = now - max_ts.replace(tzinfo=timezone.utc).timestamp()
         pq.write_table(
             pa.table(
                 {
@@ -481,7 +540,8 @@ def apply_batch(
                     "n_ddl": pa.array([n_ddl], pa.int64()),
                     "n_keys": pa.array([n_keys], pa.int64()),
                     "max_ts": pa.array([max_ts], pa.timestamp("us")),
-                    "apply_sec": pa.array([time.time() - t0], pa.float64()),
+                    "apply_sec": pa.array([now - t0], pa.float64()),
+                    "lag_sec": pa.array([lag_sec], pa.float64()),
                     "snapshot_id": pa.array([snap_id], pa.string()),
                 }
             ),

@@ -36,6 +36,20 @@ DML_OPS = (OP_INSERT, OP_UPSERT, OP_DELETE)
 DDL_OPS = (OP_DROP_PARTITION, OP_TRUNCATE, OP_ADD_COLUMN, OP_RENAME_COLUMN)
 ALL_OPS = DML_OPS + DDL_OPS
 
+# namespace (database) lifecycle — the reference replicates
+# CreateDatabase/DropDatabase through the same op channel as collection DDL
+# (core/writer/channel_writer.go:102-114, idempotent create
+# core/writer/milvus_handler.go:253-264). These ride the MULTIPLEXED log
+# with ``table_name`` = the bare namespace name; collections inside a
+# namespace are named ``<ns>.<table>``. They are handled at the
+# multi-collection task level (streaming/engine.py) and never reach
+# apply_batch — DROP_NAMESPACE becomes a TRUNCATE watermark fanned out to
+# every table in the namespace (same strict-< late-DML-defeat semantics
+# as OP_TRUNCATE).
+OP_CREATE_NAMESPACE = "CREATE_NAMESPACE"
+OP_DROP_NAMESPACE = "DROP_NAMESPACE"
+NAMESPACE_OPS = (OP_CREATE_NAMESPACE, OP_DROP_NAMESPACE)
+
 # Ordering rank at equal ts: DELETE applies before DROP_PARTITION applies
 # before INSERT/UPSERT — the reference sorts Delete before Insert at equal
 # BeginTs (core/reader/replicate_channel_manager.go:1170-1173); the drop
@@ -113,6 +127,11 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("n_keys", T.LongType(), False),
         T.StructField("max_ts", T.TimestampType(), True),
         T.StructField("apply_sec", T.DoubleType(), False),
+        # end-to-end replication lag: wall clock at commit − max event ts
+        # in the epoch — the reference's headline gauge (replicate_tt lag,
+        # server/metrics/metrics.go:107-137). Nullable: epochs with no DML
+        # have no event ts; pre-upgrade metric files lack the column.
+        T.StructField("lag_sec", T.DoubleType(), True),
         T.StructField("snapshot_id", T.StringType(), False),
     ]
 )

@@ -69,6 +69,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the merge join pre-partitions both sides on (_bucket, _wsalt) — a
+        # strict subset of its join keys (both are functions of conv_id) —
+        # so the join output lands already write-partitioned and the merged
+        # rows never re-shuffle (operators/apply.py merge_actions). Default
+        # (true) would insert a third full-width Exchange.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.driver.memory", mem)
         .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.ui.enabled", "false")

@@ -105,6 +105,38 @@ def test_ann_lsh_and_ivf_have_no_cartesian_on_corpus(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_merge_join_output_is_write_partitioned(spark, tmp_path):
+    """The merge full-outer join must reuse its children's (_bucket, _wsalt)
+    pre-partitioning: exactly TWO Exchanges (one per side, REPARTITION_BY_NUM)
+    and NONE above the join — the merged rows go straight to the bucket-
+    partitioned write. A third Exchange means requireAllClusterKeysForCoPartition
+    regressed or the join keys no longer cover the partitioning columns."""
+    from milvus_cdc_spark.operators.apply import merge_actions
+
+    log = generate_changelog(
+        spark, 4000, n_parts=4, n_convs=30, turns_per_conv=6,
+        evolve=False, drops=False,
+    )
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4, overwrite=True)
+    apply_batch(spark, t, log.filter(F.col("lsn") < 2000), epoch=0)
+    m = t.current()
+    carry = list(S.PAYLOAD_COLUMNS) + ["extra"]
+    dml = log.filter((F.col("lsn") >= 2000) & F.col("op").isin(*S.DML_OPS))
+    actions = dedup_last_writer(dml, carry)
+    target = t.read(spark, manifest=m, logical=False)
+    merged = merge_actions(target, actions, carry, m.n_buckets, write_factor=2)
+    plan = _plan(merged)
+    join_part, _, above = plan.partition("ShuffledHashJoin")
+    assert join_part.count("Exchange") == 0, (
+        "Exchange above the merge join — merged rows re-shuffle before the "
+        "write:\n" + join_part
+    )
+    assert "FullOuter" in above.splitlines()[0]
+    # the two child exchanges are the explicit (_bucket, _wsalt) repartitions
+    assert above.count("Exchange hashpartitioning(_bucket") == 2, plan
+
+
 def test_session_has_aqe_and_arrow(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
