@@ -44,9 +44,15 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     # explicit heap size opts in to Xms/AlwaysPreTouch (see session.py —
-    # lazy heap first-touch at 32 threads measured 97% system CPU)
-    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
-    from milvus_cdc_spark.session import get_spark
+    # lazy heap first-touch at 32 threads measured 97% system CPU) — but
+    # only when the pre-touched heap actually fits in free memory, so the
+    # bench JVM can't fail at startup on a constrained host (session.py's
+    # adaptive sizing handles that case instead)
+    from milvus_cdc_spark.session import _mem_avail_gb, get_spark
+
+    avail = _mem_avail_gb()
+    if avail is None or avail >= 20:
+        os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     from milvus_cdc_spark.sources import generate_changelog, write_changelog
     from milvus_cdc_spark.streaming.engine import run_until_drained
     import __spark_entry__ as entrymod

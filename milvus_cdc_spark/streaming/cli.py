@@ -1,5 +1,5 @@
 """Task CLI — create / drain / tail / status / pause / resume / delete /
-list / compact / vacuum, packaged for spark-submit.
+list / position / compact / vacuum, packaged for spark-submit.
 
 The analogue of the reference's HTTP task API — all eight task verbs
 (create/delete/pause/resume/get/getPosition/list/maintenance,
@@ -11,11 +11,16 @@ server/handle_map.go:35-133) as driver-side commands:
 
 (locally: ``python -m milvus_cdc_spark.streaming.cli ...``)
 
+Multi-collection tasks (the reference's N-collection task model,
+server/cdc_impl.go:1195-1208) use ``--tables-root`` with optional
+``--collections a,b,ns.c`` / ``--excludes x,y`` instead of ``--table``;
+omitting --collections subscribes '*' minus the excludes.
+
 Cross-process lifecycle: ``create --name t1 --tasks-dir /tasks`` registers
 the task spec; ``pause``/``resume``/``delete``/``list`` operate on the
-registry from ANY process. Pause is a sentinel file the running task's
-poll loop honors at batch boundaries (streaming/registry.py).
-"""
+registry from ANY process. Pause is a sentinel file the running task polls
+at batch boundaries — both the continuous ``tail`` loop and a long
+``drain``/``resume`` honor it (streaming/registry.py)."""
 
 from __future__ import annotations
 
@@ -37,16 +42,55 @@ def _registry(a) -> TaskRegistry:
     return TaskRegistry(a.tasks_dir)
 
 
+def _csv(v: str | None) -> list[str] | None:
+    if v is None or v == "*":
+        return None
+    return [s for s in (x.strip() for x in v.split(",")) if s]
+
+
 def _spec_from_args(a, p) -> dict:
     """Task spec from --name/--tasks-dir (registry) or explicit flags."""
     if a.name and a.tasks_dir:
         return TaskRegistry(a.tasks_dir).get(a.name)
-    if not (a.log and a.table and a.checkpoint):
+    if not (a.log and a.checkpoint and (a.table or a.tables_root)):
         p.error(
             f"'{a.command}' needs either --name + --tasks-dir or "
-            "--log + --table + --checkpoint"
+            "--log + --checkpoint + (--table | --tables-root)"
         )
-    return {"log": a.log, "table": a.table, "checkpoint": a.checkpoint}
+    spec = {"log": a.log, "checkpoint": a.checkpoint}
+    if a.table:
+        spec["table"] = a.table
+    if a.tables_root:
+        spec["tables_root"] = a.tables_root
+        spec["collections"] = _csv(a.collections)
+        spec["excludes"] = _csv(a.excludes) or []
+    return spec
+
+
+def _build_task(spark, spec, a):
+    """CdcTask or MultiCdcTask from a spec — one code path for every verb
+    (the reference's eight verbs manage N-collection tasks identically,
+    server/cdc_api.go:26-36)."""
+    from milvus_cdc_spark.streaming.engine import CdcTask, MultiCdcTask
+
+    kw = dict(
+        max_files_per_trigger=spec.get(
+            "max_files_per_trigger", a.max_files_per_trigger
+        ),
+        salt_partitions=spec.get("salt_partitions", a.salt),
+        n_buckets=spec.get("n_buckets", a.n_buckets),
+    )
+    if spec.get("tables_root"):
+        return MultiCdcTask(
+            spark,
+            spec["log"],
+            spec["tables_root"],
+            spec["checkpoint"],
+            collections=spec.get("collections"),
+            excludes=spec.get("excludes") or (),
+            **kw,
+        )
+    return CdcTask(spark, spec["log"], spec["table"], spec["checkpoint"], **kw)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -59,7 +103,12 @@ def main(argv: list[str] | None = None) -> int:
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
-    p.add_argument("--table", help="target SnapshotTable root")
+    p.add_argument("--table", help="target SnapshotTable root (single-table task)")
+    p.add_argument("--tables-root", help="root dir for a multi-collection task")
+    p.add_argument("--collections", default=None,
+                   help="comma list of collections to replicate ('*' = all)")
+    p.add_argument("--excludes", default=None,
+                   help="comma list of collections/namespaces to skip")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (task commands)")
     p.add_argument("--name", help="task name in the registry")
     p.add_argument("--tasks-dir", help="task registry directory")
@@ -104,42 +153,46 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from milvus_cdc_spark.session import get_spark
-    from milvus_cdc_spark.streaming.engine import CdcTask, FailProtect
+    from milvus_cdc_spark.streaming.engine import FailProtect
 
     if a.command == "create" and a.name and a.tasks_dir:
-        if not (a.log and a.table and a.checkpoint):
-            p.error("'create' needs --log, --table and --checkpoint")
-        spec = TaskRegistry(a.tasks_dir).create(
-            a.name,
-            {
-                "log": a.log, "table": a.table, "checkpoint": a.checkpoint,
-                "max_files_per_trigger": a.max_files_per_trigger,
-                "salt_partitions": a.salt, "n_buckets": a.n_buckets,
-            },
-        )
+        if not (a.log and a.checkpoint and (a.table or a.tables_root)):
+            p.error("'create' needs --log, --checkpoint and --table|--tables-root")
+        spec_fields = {
+            "log": a.log, "checkpoint": a.checkpoint,
+            "max_files_per_trigger": a.max_files_per_trigger,
+            "salt_partitions": a.salt, "n_buckets": a.n_buckets,
+        }
+        if a.table:
+            spec_fields["table"] = a.table
+        if a.tables_root:
+            spec_fields["tables_root"] = a.tables_root
+            spec_fields["collections"] = _csv(a.collections)
+            spec_fields["excludes"] = _csv(a.excludes) or []
+        spec = TaskRegistry(a.tasks_dir).create(a.name, spec_fields)
     else:
         spec = _spec_from_args(a, p)
 
     spark = get_spark("milvus_cdc_spark_cli", master=a.master)
-    kw = dict(
-        max_files_per_trigger=spec.get("max_files_per_trigger", a.max_files_per_trigger),
-        salt_partitions=spec.get("salt_partitions", a.salt),
-        n_buckets=spec.get("n_buckets", a.n_buckets),
-    )
-    task = CdcTask(spark, spec["log"], spec["table"], spec["checkpoint"], **kw)
+    task = _build_task(spark, spec, a)
     protect = FailProtect(max_failures=a.max_failures, window_sec=a.fail_window_sec)
+    reg = TaskRegistry(a.tasks_dir) if a.name and a.tasks_dir else None
 
     if a.command == "create":
         print(json.dumps(task.status()))
     elif a.command in ("drain", "resume"):
-        # resume = clear the pause signal, continue from the checkpoint
-        if a.name and a.tasks_dir:
-            TaskRegistry(a.tasks_dir).clear_pause(a.name)
-        ok = task.drain_protected(protect)
+        # resume = clear the pause signal, continue from the checkpoint;
+        # a NEW cross-process pause during the drain stops it at the next
+        # poll (pause_check), not after the whole drain
+        if reg:
+            reg.clear_pause(a.name)
+        ok = task.drain_protected(
+            protect,
+            pause_check=(lambda: reg.pause_requested(a.name)) if reg else None,
+        )
         print(json.dumps({"drained": ok, **task.status()}))
         return 0 if ok else 3
     elif a.command == "tail":
-        reg = TaskRegistry(a.tasks_dir) if a.name and a.tasks_dir else None
         if reg:
             reg.clear_pause(a.name)
         task.start()

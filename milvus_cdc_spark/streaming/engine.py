@@ -16,6 +16,12 @@ Structured Streaming query:
   readChanLen/backpressure, doc/cdc-usage.md:81-82).
 - **Error pause**: a failing batch stops the query with the reason
   recorded (reference pause-on-error, server/cdc_impl.go:972-1003).
+- **Multi-collection tasks** (``MultiCdcTask``) drain a MULTIPLEXED log:
+  per-collection slices are MERGEd CONCURRENTLY (reference: one goroutine
+  per channel stream, core/reader/replicate_channel_manager.go:809-825),
+  and namespace (database) DDL — CREATE_NAMESPACE/DROP_NAMESPACE, the
+  CreateDatabase/DropDatabase analogue (core/writer/channel_writer.go:
+  102-114) — routes ``<ns>.<table>`` names into per-namespace directories.
 """
 
 from __future__ import annotations
@@ -23,7 +29,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import SparkSession
 
@@ -33,13 +39,156 @@ from milvus_cdc_spark.schemas import TRANSCRIPTS_BASE_COLUMNS
 from milvus_cdc_spark.sources.changelog import read_changelog_stream
 
 
-class CdcTask:
-    """One replication task: changelog path → SnapshotTable.
+class FailProtect:
+    """Error-rate protection: a task keeps retrying transient failures,
+    but >= ``max_failures`` failures inside a sliding ``window_sec`` trip
+    it to Paused — the reference's writer fail-protection
+    (/root/reference/core/writer/fail_protect.go:28-99: per-window failure
+    counter + trip)."""
+
+    def __init__(
+        self,
+        max_failures: int = 3,
+        window_sec: float = 60.0,
+        backoff_sec: float = 0.5,
+    ):
+        self.max_failures = max_failures
+        self.window_sec = window_sec
+        self.backoff_sec = backoff_sec
+        self.failure_ts: list[float] = []
+
+    def record_failure(self, now: float | None = None) -> bool:
+        """Record one failure; True = tripped (stop retrying)."""
+        now = time.time() if now is None else now
+        self.failure_ts.append(now)
+        self.failure_ts = [t for t in self.failure_ts if now - t <= self.window_sec]
+        return len(self.failure_ts) >= self.max_failures
+
+
+class _TaskLifecycle:
+    """Shared task lifecycle: start/pause/resume/drain + persisted status.
 
     States mirror the reference task lifecycle Initial/Running/Paused
     (server/model/meta/task.go:29-42); state is derived from the live
-    query handle + a small JSON status file next to the checkpoint.
-    """
+    query handle + a small JSON status file next to the checkpoint, which
+    is what lets a CLI in ANOTHER process see/manage the task
+    (streaming/registry.py)."""
+
+    query = None
+    last_error: str | None = None
+
+    def _init_lifecycle(self, checkpoint_dir: str) -> None:
+        self.checkpoint_dir = checkpoint_dir
+        self._status_path = os.path.join(checkpoint_dir, "task_status.json")
+
+    def start(self, available_now: bool = False):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def pause(self, reason: str | None = None):
+        if self.query is not None:
+            self.query.stop()
+            self.query = None
+        self._write_status("Paused", reason=reason)
+
+    def resume(self, available_now: bool = False):
+        return self.start(available_now=available_now)
+
+    def wait_drained(self, timeout_sec: float = 600.0) -> bool:
+        """Block until an availableNow run finishes; record errors."""
+        assert self.query is not None
+        try:
+            ok = self.query.awaitTermination(timeout_sec)
+            if ok:
+                self._write_status("Stopped")
+            return bool(ok)
+        except Exception as e:  # error → pause with reason (reference C4)
+            self.last_error = str(e)
+            self._write_status("Paused", reason=self.last_error[:500])
+            raise
+
+    def drain_protected(
+        self,
+        protect: FailProtect | None = None,
+        timeout_sec: float = 600.0,
+        pause_check: Callable[[], bool] | None = None,
+        poll_sec: float = 0.3,
+    ) -> bool:
+        """Drain with error-rate protection: restart after a transient
+        failure (checkpoint + per-epoch idempotence make the replay safe),
+        pause with reason once the failure rate trips ``protect``.
+
+        ``pause_check`` is polled between ``poll_sec`` await slices so a
+        CROSS-PROCESS pause request (registry sentinel) stops a long drain
+        at the next batch boundary instead of being ignored until the
+        drain completes.
+
+        Returns True when fully drained, False when paused or tripped.
+        """
+        protect = protect or FailProtect()
+        deadline = time.time() + timeout_sec
+        while True:
+            if self.query is None:
+                self.start(available_now=True)
+            try:
+                while True:
+                    remaining = deadline - time.time()
+                    if remaining <= 0:
+                        self.pause(reason="drain wall timeout")
+                        return False
+                    if pause_check is not None and pause_check():
+                        self.pause(reason="pause requested")
+                        return False
+                    slice_sec = (
+                        remaining if pause_check is None
+                        else min(poll_sec, max(0.05, remaining))
+                    )
+                    if self.query.awaitTermination(slice_sec):
+                        self._write_status("Stopped")
+                        return True
+                    if pause_check is None:
+                        self.pause(reason="drain wall timeout")
+                        return False
+            except Exception as e:
+                self.query = None
+                self.last_error = str(e)
+                if protect.record_failure():
+                    self._write_status(
+                        "Paused",
+                        reason="fail-protect tripped "
+                        f"({protect.max_failures} failures in "
+                        f"{protect.window_sec}s): {self.last_error[:400]}",
+                    )
+                    return False
+                time.sleep(protect.backoff_sec)
+
+    def status(self) -> dict[str, Any]:
+        st = {"state": "Running" if self.query and self.query.isActive else "Stopped"}
+        if os.path.exists(self._status_path):
+            with open(self._status_path) as f:
+                st.update(json.loads(f.read()))
+            st["state"] = (
+                "Running"
+                if self.query and self.query.isActive
+                else st.get("persisted_state", "Stopped")
+            )
+        st.update(self._status_extra())
+        return st
+
+    def _status_extra(self) -> dict[str, Any]:
+        return {}
+
+    def _write_status(self, state: str, reason: str | None = None):
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        with open(self._status_path, "w") as f:
+            f.write(
+                json.dumps(
+                    {"persisted_state": state, "reason": reason, "ts": time.time()}
+                )
+            )
+
+
+class CdcTask(_TaskLifecycle):
+    """One replication task: changelog path → SnapshotTable."""
 
     def __init__(
         self,
@@ -57,12 +206,9 @@ class CdcTask:
         self.table = SnapshotTable(table_root)
         if not self.table.exists():
             self.table.create(TRANSCRIPTS_BASE_COLUMNS, n_buckets=n_buckets)
-        self.checkpoint_dir = checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.salt_partitions = salt_partitions
-        self.query = None
-        self.last_error: str | None = None
-        self._status_path = os.path.join(checkpoint_dir, "task_status.json")
+        self._init_lifecycle(checkpoint_dir)
 
     # -- lifecycle (reference C1-C4, server/cdc_api.go:26-36) -------------
     def start(self, available_now: bool = False):
@@ -100,117 +246,14 @@ class CdcTask:
         self._write_status("Running")
         return self.query
 
-    def pause(self):
-        if self.query is not None:
-            self.query.stop()
-            self.query = None
-        self._write_status("Paused")
-
-    def resume(self, available_now: bool = False):
-        return self.start(available_now=available_now)
-
-    def wait_drained(self, timeout_sec: float = 600.0) -> bool:
-        """Block until an availableNow run finishes; record errors."""
-        assert self.query is not None
-        try:
-            ok = self.query.awaitTermination(timeout_sec)
-            if ok:
-                self._write_status("Stopped")
-            return bool(ok)
-        except Exception as e:  # error → pause with reason (reference C4)
-            self.last_error = str(e)
-            self._write_status("Paused", reason=self.last_error[:500])
-            raise
-
-    def drain_protected(
-        self,
-        protect: FailProtect | None = None,
-        timeout_sec: float = 600.0,
-    ) -> bool:
-        """Drain with error-rate protection: restart after a transient
-        failure (checkpoint + per-epoch idempotence make the replay safe),
-        pause with reason once the failure rate trips ``protect``.
-
-        Returns True when fully drained, False when tripped to Paused.
-        """
-        protect = protect or FailProtect()
-        deadline = time.time() + timeout_sec
-        while True:
-            if self.query is None:
-                self.start(available_now=True)
-            try:
-                ok = self.query.awaitTermination(max(0.1, deadline - time.time()))
-                if ok:
-                    self._write_status("Stopped")
-                    return True
-                self.pause()  # wall timeout — stop cleanly
-                return False
-            except Exception as e:
-                self.query = None
-                self.last_error = str(e)
-                if protect.record_failure():
-                    self._write_status(
-                        "Paused",
-                        reason="fail-protect tripped "
-                        f"({protect.max_failures} failures in "
-                        f"{protect.window_sec}s): {self.last_error[:400]}",
-                    )
-                    return False
-                time.sleep(protect.backoff_sec)
-
-    def status(self) -> dict[str, Any]:
+    def _status_extra(self) -> dict[str, Any]:
         m = self.table.current()
-        st = {"state": "Running" if self.query and self.query.isActive else "Stopped"}
-        if os.path.exists(self._status_path):
-            with open(self._status_path) as f:
-                st.update(json.loads(f.read()))
-            st["state"] = (
-                "Running" if self.query and self.query.isActive else st.get("persisted_state", "Stopped")
-            )
-        st.update(
-            {
-                "snapshot_id": m.snapshot_id,
-                "table_version": m.version,
-                "epochs_committed": len(m.epochs),
-                "summary": m.summary,
-            }
-        )
-        return st
-
-    def _write_status(self, state: str, reason: str | None = None):
-        os.makedirs(self.checkpoint_dir, exist_ok=True)
-        with open(self._status_path, "w") as f:
-            f.write(
-                json.dumps(
-                    {"persisted_state": state, "reason": reason, "ts": time.time()}
-                )
-            )
-
-
-class FailProtect:
-    """Error-rate protection: a task keeps retrying transient failures,
-    but >= ``max_failures`` failures inside a sliding ``window_sec`` trip
-    it to Paused — the reference's writer fail-protection
-    (/root/reference/core/writer/fail_protect.go:28-99: per-window failure
-    counter + trip)."""
-
-    def __init__(
-        self,
-        max_failures: int = 3,
-        window_sec: float = 60.0,
-        backoff_sec: float = 0.5,
-    ):
-        self.max_failures = max_failures
-        self.window_sec = window_sec
-        self.backoff_sec = backoff_sec
-        self.failure_ts: list[float] = []
-
-    def record_failure(self, now: float | None = None) -> bool:
-        """Record one failure; True = tripped (stop retrying)."""
-        now = time.time() if now is None else now
-        self.failure_ts.append(now)
-        self.failure_ts = [t for t in self.failure_ts if now - t <= self.window_sec]
-        return len(self.failure_ts) >= self.max_failures
+        return {
+            "snapshot_id": m.snapshot_id,
+            "table_version": m.version,
+            "epochs_committed": len(m.epochs),
+            "summary": m.summary,
+        }
 
 
 class CollectionFilter:
@@ -219,7 +262,9 @@ class CollectionFilter:
     named collections or '*' minus an exclude list,
     /root/reference/server/cdc_impl.go:1195-1208).
 
-    ``includes=None`` means wildcard '*'."""
+    ``includes=None`` means wildcard '*'. Namespaced collections are named
+    ``<ns>.<table>``; a bare namespace name in ``excludes`` excludes every
+    collection in it."""
 
     def __init__(
         self, includes: list[str] | None = None, excludes: list[str] | tuple = ()
@@ -227,15 +272,33 @@ class CollectionFilter:
         self.includes = list(includes) if includes is not None else None
         self.excludes = set(excludes)
 
+    def _excluded(self, name: str) -> bool:
+        ns = name.split(".", 1)[0]
+        return name in self.excludes or (ns != name and ns in self.excludes)
+
     def should_read(self, name: str) -> bool:
-        if name in self.excludes:
+        if self._excluded(name):
             return False
         return self.includes is None or name in self.includes
 
+    def should_read_namespace(self, ns: str) -> bool:
+        """Namespace DDL applies when ANY subscribed collection can live in
+        the namespace: wildcard (minus an excluded ns), or an include entry
+        under ``ns.``."""
+        if self._excluded(ns):
+            return False
+        if self.includes is None:
+            return True
+        return any(i == ns or i.startswith(ns + ".") for i in self.includes)
+
     def predicate(self):
         """Spark Column form — pushed into the micro-batch scan so
-        excluded collections' events are pruned before any shuffle."""
+        excluded collections' events are pruned before any shuffle.
+        Namespace-level ops ride through (they're matched on the bare
+        namespace name and re-checked driver-side)."""
         from pyspark.sql import functions as F
+
+        from milvus_cdc_spark import schemas as S
 
         pred = F.lit(True)
         if self.includes is not None:
@@ -245,15 +308,26 @@ class CollectionFilter:
                 else F.lit(False)  # explicit empty subscription reads nothing
             )
         if self.excludes:
-            pred = pred & ~F.col("table_name").isin(*sorted(self.excludes))
-        return pred
+            ex = sorted(self.excludes)
+            pred = pred & ~F.col("table_name").isin(*ex)
+            # prefix-exclude namespaced collections under an excluded ns
+            from functools import reduce
+
+            pred = pred & reduce(
+                lambda acc, ns: acc
+                & ~F.col("table_name").startswith(ns + "."),
+                ex,
+                F.lit(True),
+            )
+        return pred | F.col("op").isin(*S.NAMESPACE_OPS)
 
 
-class MultiCdcTask:
+class MultiCdcTask(_TaskLifecycle):
     """One replication task over a MULTIPLEXED changelog: N collections'
     events ride one ordered log (``table_name`` column); each micro-batch
     is split per collection and MERGEd into that collection's own
-    SnapshotTable under ``tables_root/<name>``.
+    SnapshotTable under ``tables_root/<name>`` (``tables_root/<ns>/<table>``
+    for namespaced collections).
 
     The reference shape: a task owns several collection readers feeding
     shared channels (server/cdc_impl.go:1195-1208 collection discovery +
@@ -261,7 +335,26 @@ class MultiCdcTask:
     PER TABLE: each table's manifest has its own epoch gate, so a batch
     retried after a partial failure skips the tables that already
     committed and applies the rest.
+
+    Per-collection MERGEs run CONCURRENTLY from a thread pool — Spark's
+    scheduler interleaves the independent jobs, so batch wall time tracks
+    max(per-table) instead of sum(per-table) (the reference applies
+    collections concurrently, one goroutine per channel stream,
+    core/reader/replicate_channel_manager.go:809-825). The single-writer
+    commit protocol holds per table: each table's manifest has exactly one
+    writer thread per batch.
+
+    Namespace DDL (reference CreateDatabase/DropDatabase,
+    core/writer/channel_writer.go:102-114): CREATE_NAMESPACE is an
+    idempotent mkdir + marker; DROP_NAMESPACE records a namespace-level
+    truncate watermark and fans a synthetic TRUNCATE event out to every
+    table in the namespace — including tables FIRST SEEN in a later batch,
+    which inherit the watermark on create, so late DML older than the drop
+    loses under any batch ordering (the same strict-< watermark model as
+    OP_TRUNCATE; see schemas.py).
     """
+
+    NS_MARKER = "_namespace.json"
 
     def __init__(
         self,
@@ -275,53 +368,219 @@ class MultiCdcTask:
         max_files_per_trigger: int | None = 4,
         salt_partitions: int | None = None,
         n_buckets: int = 16,
+        max_concurrency: int = 8,
     ):
         self.spark = spark
         self.changelog_path = changelog_path
         self.tables_root = tables_root
-        self.checkpoint_dir = checkpoint_dir
         self.filter = CollectionFilter(collections, excludes)
         self.max_files_per_trigger = max_files_per_trigger
         self.salt_partitions = salt_partitions
         self.n_buckets = n_buckets
+        self.max_concurrency = max_concurrency
         self.tables: dict[str, SnapshotTable] = {}
-        self.query = None
+        self._init_lifecycle(checkpoint_dir)
+
+    # -- naming / namespaces ----------------------------------------------
+    def _table_path(self, name: str) -> str:
+        segs = name.split(".")
+        if len(segs) > 2 or any(
+            (not s) or "/" in s or s.startswith((".", "_")) for s in segs
+        ):
+            raise ValueError(f"invalid collection name: {name!r}")
+        return os.path.join(self.tables_root, *segs)
 
     def table(self, name: str) -> SnapshotTable:
         """Idempotent create-on-first-event (reference skip-if-exists,
-        core/writer/milvus_handler.go:119-125)."""
+        core/writer/milvus_handler.go:119-125). A table created inside a
+        namespace that was ALREADY dropped inherits the namespace's
+        truncate watermark via the synthetic-TRUNCATE injection in
+        ``_per_table_batch`` (not here — create stays metadata-only)."""
         t = self.tables.get(name)
         if t is None:
-            t = SnapshotTable(os.path.join(self.tables_root, name))
+            t = SnapshotTable(self._table_path(name))
             if not t.exists():
                 t.create(TRANSCRIPTS_BASE_COLUMNS, n_buckets=self.n_buckets)
             self.tables[name] = t
         return t
 
-    def start(self, available_now: bool = False):
+    def _ns_marker_path(self, ns: str) -> str:
+        return os.path.join(self.tables_root, ns, self.NS_MARKER)
+
+    def _ensure_namespace(self, ns: str) -> None:
+        path = self._ns_marker_path(ns)
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps({"created_ts": time.time()}))
+            os.replace(tmp, path)
+
+    def _record_ns_drop(self, ns: str, ts, lsn: int) -> None:
+        """Persist max(drop watermark) for the namespace — atomic replace,
+        monotonic under replays (a crash-replayed batch re-records the
+        same watermark)."""
+        self._ensure_namespace(ns)
+        path = self._ns_marker_path(ns)
+        with open(path) as f:
+            meta = json.loads(f.read())
+        iso = ts.isoformat(sep=" ")
+        if meta.get("drop_watermark") is None or iso > meta["drop_watermark"]:
+            meta["drop_watermark"] = iso
+            meta["drop_lsn"] = int(lsn)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps(meta))
+            os.replace(tmp, path)
+
+    def _ns_watermark(self, ns: str) -> tuple[str, int] | None:
+        path = self._ns_marker_path(ns)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            meta = json.loads(f.read())
+        if meta.get("drop_watermark") is None:
+            return None
+        return meta["drop_watermark"], int(meta["drop_lsn"])
+
+    def _existing_tables_in_ns(self, ns: str) -> list[str]:
+        d = os.path.join(self.tables_root, ns)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f"{ns}.{t}"
+            for t in os.listdir(d)
+            if os.path.exists(os.path.join(d, t, "meta", "CURRENT"))
+        )
+
+    def _truncate_row(self, iso_ts: str, lsn: int):
+        """Synthetic TRUNCATE changelog row carrying a namespace-drop
+        watermark into one table's apply. Reuses the drop event's real log
+        lsn: globally unique in the source log, so the per-batch duplicate-
+        lsn gate can never collide it with genuine DML."""
+        from datetime import datetime
+
+        from milvus_cdc_spark import schemas as S
+
+        return self.spark.createDataFrame(
+            [
+                (
+                    lsn,
+                    datetime.fromisoformat(iso_ts),
+                    0,
+                    S.OP_TRUNCATE,
+                    None, None, None, None, None,
+                    "{}",
+                    None,
+                )
+            ],
+            S.CHANGELOG_SCHEMA,
+        )
+
+    # -- the per-batch fanout ----------------------------------------------
+    def apply_multi(self, batch_df, epoch_id: int) -> None:
+        """Split one multiplexed batch per collection and MERGE each slice
+        concurrently. Public so batch-style callers (probes, backfills)
+        can drive the same fanout the stream uses."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.sql import functions as F
 
+        from milvus_cdc_spark import schemas as S
+
+        batch_df = batch_df.filter(self.filter.predicate())
+        # ONE bookkeeping scan: which subscribed collections actually have
+        # rows in THIS batch (so an N-collection subscription doesn't
+        # commit N empty epochs per trigger), plus the rare namespace ops
+        # fixed-width maxes only (a max(struct) buffer would plan the whole
+        # scan as SortAggregate — the 50-150µs/row cliff apply.py documents).
+        # ns_drop_ts / ns_drop_lsn may come from different DROP events when
+        # several hit one batch; the watermark only needs max(ts) plus SOME
+        # real log lsn (uniqueness vs DML is what matters, see _truncate_row)
+        info = (
+            batch_df.groupBy("table_name")
+            .agg(
+                F.sum(
+                    F.when(~F.col("op").isin(*S.NAMESPACE_OPS), 1).otherwise(0)
+                ).alias("n_rows"),
+                F.max(
+                    F.when(F.col("op") == S.OP_DROP_NAMESPACE, F.col("ts"))
+                ).alias("ns_drop_ts"),
+                F.max(
+                    F.when(F.col("op") == S.OP_DROP_NAMESPACE, F.col("lsn"))
+                ).alias("ns_drop_lsn"),
+                F.max(
+                    F.when(F.col("op") == S.OP_CREATE_NAMESPACE, F.lit(True))
+                ).alias("ns_create"),
+            )
+            .collect()
+        )
+        names: set[str] = set()
+        for r in info:
+            nm = r["table_name"]
+            if (r["ns_create"] or r["ns_drop_ts"] is not None) and (
+                self.filter.should_read_namespace(nm)
+            ):
+                self._ensure_namespace(nm)
+                if r["ns_drop_ts"] is not None:
+                    self._record_ns_drop(nm, r["ns_drop_ts"], r["ns_drop_lsn"])
+                    # the drop must also reach tables with NO rows in this
+                    # batch — fan the watermark out to every existing table
+                    names.update(
+                        t
+                        for t in self._existing_tables_in_ns(nm)
+                        if self.filter.should_read(t)
+                    )
+            if r["n_rows"] and self.filter.should_read(nm):
+                names.add(nm)
+
+        ordered = sorted(names)
+        # create-on-first-event OUTSIDE the pool: self.tables isn't locked
+        tables = {n: self.table(n) for n in ordered}
+
+        def one(name: str):
+            df = batch_df.filter(F.col("table_name") == name).drop("table_name")
+            if "." in name:
+                wm = self._ns_watermark(name.split(".", 1)[0])
+                if wm is not None:
+                    df = df.unionByName(self._truncate_row(*wm))
+            return apply_batch(
+                self.spark,
+                tables[name],
+                df,
+                epoch_id,
+                salt_partitions=self.salt_partitions,
+            )
+
+        if len(ordered) <= 1:
+            for name in ordered:
+                one(name)
+            return
+        with ThreadPoolExecutor(
+            max_workers=min(self.max_concurrency, len(ordered))
+        ) as ex:
+            futures = [(n, ex.submit(one, n)) for n in ordered]
+            errors = []
+            for n, fut in futures:
+                try:
+                    fut.result()
+                except Exception as e:  # collect, let siblings finish
+                    errors.append((n, e))
+            if errors:
+                # fail the batch → streaming retry; per-table epoch gates
+                # skip the tables that already committed
+                name, err = errors[0]
+                raise RuntimeError(
+                    f"epoch {epoch_id}: {len(errors)} collection(s) failed, "
+                    f"first = {name}"
+                ) from err
+
+    def start(self, available_now: bool = False):
         def _apply(batch_df, epoch_id: int):
             files = batch_df.inputFiles()
             if files:  # same plain-reader re-root as CdcTask.start
                 batch_df = self.spark.read.schema(batch_df.schema).parquet(*files)
-            batch_df = batch_df.filter(self.filter.predicate())
-            if self.filter.includes is not None:
-                names = [n for n in self.filter.includes if self.filter.should_read(n)]
-            else:  # wildcard: discover collections present in this batch
-                names = [
-                    r[0]
-                    for r in batch_df.select("table_name").distinct().collect()
-                    if self.filter.should_read(r[0])
-                ]
-            for name in sorted(names):
-                apply_batch(
-                    self.spark,
-                    self.table(name),
-                    batch_df.filter(F.col("table_name") == name).drop("table_name"),
-                    epoch_id,
-                    salt_partitions=self.salt_partitions,
-                )
+            self.apply_multi(batch_df, epoch_id)
 
         stream = read_changelog_stream(
             self.spark,
@@ -339,11 +598,19 @@ class MultiCdcTask:
         else:
             writer = writer.trigger(processingTime="1 second")
         self.query = writer.start()
+        self._write_status("Running")
         return self.query
 
-    def wait_drained(self, timeout_sec: float = 600.0) -> bool:
-        assert self.query is not None
-        return bool(self.query.awaitTermination(timeout_sec))
+    def _status_extra(self) -> dict[str, Any]:
+        out: dict[str, Any] = {"tables": {}}
+        for name in sorted(self.tables):
+            m = self.tables[name].current()
+            out["tables"][name] = {
+                "snapshot_id": m.snapshot_id,
+                "table_version": m.version,
+                "epochs_committed": len(m.epochs),
+            }
+        return out
 
 
 def run_until_drained(

@@ -24,6 +24,25 @@ from typing import Any
 PAUSE_SENTINEL = "PAUSE_REQUESTED"
 
 
+def _walk_tables(tables_root: str):
+    """Yield (name, root) for every SnapshotTable under a multi-collection
+    task's tables_root — plain collections at depth 1, namespaced
+    ``<ns>.<table>`` at depth 2 (see engine.MultiCdcTask._table_path)."""
+    if not os.path.isdir(tables_root):
+        return
+    for d in sorted(os.listdir(tables_root)):
+        p = os.path.join(tables_root, d)
+        if not os.path.isdir(p):
+            continue
+        if os.path.exists(os.path.join(p, "meta", "CURRENT")):
+            yield d, p
+        else:  # namespace directory
+            for t in sorted(os.listdir(p)):
+                q = os.path.join(p, t)
+                if os.path.exists(os.path.join(q, "meta", "CURRENT")):
+                    yield f"{d}.{t}", q
+
+
 class TaskRegistry:
     def __init__(self, tasks_dir: str):
         self.tasks_dir = tasks_dir
@@ -40,22 +59,33 @@ class TaskRegistry:
         path = self._path(name)
         if os.path.exists(path):
             raise FileExistsError(f"task {name} already exists")
-        for req in ("log", "table", "checkpoint"):
+        for req in ("log", "checkpoint"):
             if not spec.get(req):
                 raise ValueError(f"task spec missing required field: {req}")
-        # two tasks writing one table would break the single-writer commit
-        # protocol; sharing a checkpoint corrupts both streams' offsets
+        # single-table tasks own a 'table'; multi-collection tasks own a
+        # 'tables_root' (+ optional 'collections'/'excludes' lists — the
+        # reference manages N-collection tasks through the same verbs,
+        # server/cdc_api.go:26-36)
+        if not (spec.get("table") or spec.get("tables_root")):
+            raise ValueError("task spec needs 'table' or 'tables_root'")
+        # two tasks writing one table (or table tree) would break the
+        # single-writer commit protocol; sharing a checkpoint corrupts both
+        # streams' offsets
         for other in self.list():
-            for field in ("table", "checkpoint"):
-                if os.path.normpath(other[field]) == os.path.normpath(spec[field]):
+            for field in ("table", "tables_root", "checkpoint"):
+                a, b = other.get(field), spec.get(field)
+                if a and b and os.path.normpath(a) == os.path.normpath(b):
                     raise ValueError(
-                        f"task {other['name']} already owns {field} {spec[field]}"
+                        f"task {other['name']} already owns {field} {b}"
                     )
         spec = {**spec, "name": name, "created_ts": time.time()}
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             f.write(json.dumps(spec, indent=1))
         os.replace(tmp, path)
+        # a task re-created over a KEPT checkpoint must not inherit a stale
+        # pause request from the previous owner
+        self.clear_pause(spec)
         return spec
 
     def get(self, name: str) -> dict[str, Any]:
@@ -73,6 +103,9 @@ class TaskRegistry:
             import shutil
 
             shutil.rmtree(spec["checkpoint"], ignore_errors=True)
+        # NOTE: when the checkpoint is kept, the sentinel is deliberately
+        # left in place so a STILL-RUNNING process stops at its next poll;
+        # create() clears any stale sentinel if the checkpoint is re-used.
 
     def list(self) -> list[dict[str, Any]]:
         out = []
@@ -112,8 +145,13 @@ class TaskRegistry:
         """Source-offset → sink-snapshot position report (the reference's
         ``getPosition`` verb, server/cdc_api.go:26-36: task positions =
         consumed MQ offsets per channel). No Spark session: reads the
-        streaming checkpoint's commit/offset log, the table manifest, and
-        the per-partition lineage parquet directly."""
+        streaming checkpoint's commit/offset log, the table manifest(s),
+        the per-partition lineage parquet, and the newest epoch's
+        ``lag_sec`` gauge (reference replicate_tt lag,
+        server/metrics/metrics.go:107-137) directly.
+
+        Multi-collection specs (``tables_root``) report one entry per
+        replicated table."""
         spec = (
             spec_or_name
             if isinstance(spec_or_name, dict)
@@ -133,39 +171,77 @@ class TaskRegistry:
             # line 3+ = one offset JSON per source
             off_path = os.path.join(spec["checkpoint"], "offsets", str(last))
             if os.path.exists(off_path):
-                lines = open(off_path).read().strip().splitlines()
+                with open(off_path) as f:
+                    lines = f.read().strip().splitlines()
                 try:
                     out["source_offsets"] = [json.loads(ln) for ln in lines[2:]]
                 except json.JSONDecodeError:
                     out["source_offsets"] = lines[2:]
-        cur = os.path.join(spec["table"], "meta", "CURRENT")
-        if os.path.exists(cur):
-            with open(cur) as f:
-                v = int(f.read().strip())
-            with open(os.path.join(spec["table"], "meta", f"v{v}.json")) as f:
-                m = json.loads(f.read())
-            out["table"] = {
+        if spec.get("table"):
+            t = self._table_position(spec["table"])
+            if t:
+                out["table"] = t["table"]
+                out.update(
+                    {
+                        k: t[k]
+                        for k in ("applied_end_lsn_per_part", "lag_sec")
+                        if k in t
+                    }
+                )
+        elif spec.get("tables_root"):
+            out["tables"] = {}
+            for name, root in sorted(_walk_tables(spec["tables_root"])):
+                t = self._table_position(root)
+                if t:
+                    out["tables"][name] = t
+        return out
+
+    def _table_position(self, root: str) -> dict[str, Any]:
+        cur = os.path.join(root, "meta", "CURRENT")
+        if not os.path.exists(cur):
+            return {}
+        with open(cur) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(root, "meta", f"v{v}.json")) as f:
+            m = json.loads(f.read())
+        out: dict[str, Any] = {
+            "table": {
                 "version": v,
                 "snapshot_id": m["snapshot_id"],
                 "epochs_committed": len(m["epochs"]),
                 "last_epoch": m.get("summary", {}).get("last_epoch"),
             }
-            lin_dir = os.path.join(spec["table"], "lineage")
-            if os.path.isdir(lin_dir):
-                import pyarrow.dataset as ds
+        }
+        lin_dir = os.path.join(root, "lineage")
+        if os.path.isdir(lin_dir):
+            import pyarrow.dataset as ds
 
-                t = ds.dataset(lin_dir, format="parquet").to_table(
-                    columns=["part", "end_lsn"]
-                )
-                ends: dict[int, int] = {}
-                for part, end in zip(
-                    t.column("part").to_pylist(), t.column("end_lsn").to_pylist()
-                ):
-                    if end is not None and (part not in ends or end > ends[part]):
-                        ends[part] = end
-                out["applied_end_lsn_per_part"] = {
-                    str(k): v for k, v in sorted(ends.items())
-                }
+            t = ds.dataset(lin_dir, format="parquet").to_table(
+                columns=["part", "end_lsn"]
+            )
+            ends: dict[int, int] = {}
+            for part, end in zip(
+                t.column("part").to_pylist(), t.column("end_lsn").to_pylist()
+            ):
+                if end is not None and (part not in ends or end > ends[part]):
+                    ends[part] = end
+            out["applied_end_lsn_per_part"] = {
+                str(k): v for k, v in sorted(ends.items())
+            }
+        met_dir = os.path.join(root, "metrics")
+        if os.path.isdir(met_dir):
+            files = sorted(
+                (f for f in os.listdir(met_dir) if f.endswith(".parquet")),
+                # epoch-<N>.parquet → numeric order, newest epoch last
+                key=lambda f: int(f.split("-")[1].split(".")[0]),
+            )
+            if files:
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(os.path.join(met_dir, files[-1]))
+                cols = {c: t.column(c).to_pylist() for c in t.column_names}
+                if cols.get("lag_sec") and cols["lag_sec"][0] is not None:
+                    out["lag_sec"] = cols["lag_sec"][0]
         return out
 
     def status(self, spec: dict[str, Any]) -> dict[str, Any]:

@@ -153,8 +153,11 @@ def sessionize(
     gap_seconds: int = 1800,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """events (streaming or batch-test DataFrame with conv_id, ts) →
-    append-mode stream of FINAL (watermark-closed) sessions."""
+    """STREAMING events (conv_id, ts) → append-mode stream of FINAL
+    (watermark-closed) sessions. Emission is gated on the event-time
+    watermark, which only advances in a streaming query — for the batch
+    twin of this operator see ``cdc_sessions_batch`` in __spark_entry__.py
+    (a pure window/gap-fill aggregation over the same semantics)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (

@@ -191,3 +191,111 @@ def test_cli_lifecycle_roundtrip(spark, tmp_path):
     from milvus_cdc_spark.plans.manifest import SnapshotTable
 
     assert SnapshotTable(table).read(spark).count() == len(want)
+
+
+def test_position_reports_lag(spark, tmp_path):
+    """lag_sec gauge (reference replicate_tt lag, server/metrics/
+    metrics.go:107-137): wall clock at commit - newest event ts, surfaced
+    by the no-Spark position verb."""
+    log_dir = _write_log(spark, tmp_path, n=400)
+    table = str(tmp_path / "lagtable")
+    ckpt = str(tmp_path / "lagckpt")
+    from milvus_cdc_spark.streaming.engine import run_until_drained
+
+    run_until_drained(spark, log_dir, table, ckpt, max_files_per_trigger=4)
+    reg = TaskRegistry(str(tmp_path / "tasks"))
+    reg.create("lag1", {"log": log_dir, "table": table, "checkpoint": ckpt})
+    pos = reg.position("lag1")
+    # synthetic events are timestamped 2024 → lag is large and positive
+    assert pos["lag_sec"] > 0
+
+
+def test_recreated_task_does_not_inherit_stale_pause(tmp_path):
+    """delete() keeps the sentinel for the still-running process, but a
+    task RE-CREATED over the kept checkpoint must start unpaused."""
+    reg = TaskRegistry(str(tmp_path / "tasks"))
+    ck = str(tmp_path / "ck")
+    reg.create("t1", {"log": "/l", "table": "/t", "checkpoint": ck})
+    reg.request_pause("t1")
+    reg.delete("t1")  # checkpoint kept
+    assert os.path.exists(os.path.join(ck, "PAUSE_REQUESTED"))
+    spec = reg.create("t2", {"log": "/l", "table": "/t", "checkpoint": ck})
+    assert not reg.pause_requested(spec)
+
+
+def test_drain_protected_honors_cross_process_pause(spark, tmp_path):
+    """A pause request arriving DURING a drain stops it at the next poll
+    (previously only 'tail' polled the sentinel)."""
+    log_dir = _write_log(spark, tmp_path, n=1200)
+    task = CdcTask(
+        spark, log_dir, str(tmp_path / "ptable2"), str(tmp_path / "pckpt2"),
+        max_files_per_trigger=1,  # several batches -> poll points exist
+    )
+    calls = {"n": 0}
+
+    def pause_after_first_poll():
+        calls["n"] += 1
+        return calls["n"] > 1
+
+    ok = task.drain_protected(timeout_sec=120.0, pause_check=pause_after_first_poll)
+    assert ok is False
+    st = task.status()
+    assert st["persisted_state"] == "Paused"
+    assert st["reason"] == "pause requested"
+
+
+def test_cli_multi_collection_lifecycle(spark, tmp_path):
+    """The same eight verbs manage N-collection tasks (reference
+    server/cdc_api.go:26-36): create with --tables-root/--collections,
+    drain, position-per-table, delete — cross-process."""
+    from milvus_cdc_spark.sources.changelog_gen import generate_multi_changelog
+
+    log_dir = str(tmp_path / "mlog")
+    write_changelog(
+        generate_multi_changelog(
+            spark, 900, ["a", "b", "c"], n_parts=4, n_convs=10,
+            evolve=False, drops=False, num_partitions=2,
+        ),
+        log_dir,
+        n_files=2,
+    )
+    tasks_dir = str(tmp_path / "tasks")
+    troot = str(tmp_path / "mtables")
+    ckpt = str(tmp_path / "mckpt")
+    env = {**os.environ, "PYTHONPATH": "/root/repo", "SPARK_GRAFT_CPUS": "4"}
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "milvus_cdc_spark.streaming.cli", *args],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    cli(
+        "create", "--name", "m1", "--tasks-dir", tasks_dir,
+        "--log", log_dir, "--tables-root", troot, "--checkpoint", ckpt,
+        "--collections", "a,b", "--excludes", "",
+        "--master", "local[2]", "--max-files-per-trigger", "2",
+    )
+    st = cli("drain", "--name", "m1", "--tasks-dir", tasks_dir, "--master", "local[2]")
+    assert st["drained"] is True
+    assert set(st["tables"]) == {"a", "b"}  # 'c' not subscribed
+
+    pos = cli("position", "--name", "m1", "--tasks-dir", tasks_dir)
+    assert set(pos["tables"]) == {"a", "b"}
+    for t in pos["tables"].values():
+        assert t["table"]["epochs_committed"] >= 1
+        assert t["lag_sec"] > 0
+
+    # replicated state matches the per-table sequential oracle
+    rows = [r.asDict() for r in spark.read.parquet(log_dir).collect()]
+    from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+    for name in ("a", "b"):
+        want, _ = replay([r for r in rows if r["table_name"] == name])
+        got = SnapshotTable(os.path.join(troot, name)).read(spark)
+        assert got.count() == len(want), name
+
+    cli("delete", "--name", "m1", "--tasks-dir", tasks_dir, "--drop-checkpoint")
+    assert cli("list", "--tasks-dir", tasks_dir) == []
