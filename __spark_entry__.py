@@ -232,6 +232,75 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND table_name IN ('t0', 't1')
 """
 
 
+def _q_cdc_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for namespace (database) DDL — the reference's
+    CreateDatabase/DropDatabase replication (core/writer/channel_writer.go:
+    102-114, idempotent create core/writer/milvus_handler.go:253-264): two
+    namespaced collections and one plain collection multiplex one log; a
+    DROP_NAMESPACE at the mid-log timestamp is applied BETWEEN the newer
+    half (epoch 0) and the deliberately-late older half (epoch 2), so
+    convergence requires the namespace watermark — fanned out as TRUNCATE
+    to every table under ``ns0/`` — to defeat late DML older than the drop
+    while leaving ``pub`` untouched."""
+    import shutil
+
+    from milvus_cdc_spark.streaming.engine import MultiCdcTask
+
+    log = _derive_changelog(spark, sf_dir).withColumn(
+        "table_name",
+        F.when(F.pmod(F.col("part"), F.lit(3)) == 0, F.lit("ns0.t0"))
+        .when(F.pmod(F.col("part"), F.lit(3)) == 1, F.lit("ns0.t1"))
+        .otherwise(F.lit("pub")),
+    )
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    drop_ts = log.filter(F.col("lsn") <= mid).agg(F.max("ts")).collect()[0][0]
+    drop = spark.createDataFrame(
+        [(hi + 1, drop_ts, 0, S.OP_DROP_NAMESPACE,
+          None, None, None, None, None, None, None, "ns0")],
+        S.MULTI_CHANGELOG_SCHEMA,
+    )
+    root = _probe_table_root(sf_dir, "namespace")
+    shutil.rmtree(root, ignore_errors=True)
+    task = MultiCdcTask(
+        spark, os.path.join(root, "log"), os.path.join(root, "tables"),
+        os.path.join(root, "ckpt"), n_buckets=4,
+    )
+    task.apply_multi(log.filter(F.col("lsn") > mid), 0)
+    task.apply_multi(drop, 1)
+    task.apply_multi(log.filter(F.col("lsn") <= mid), 2)  # late
+    out = None
+    for name in ("ns0.t0", "ns0.t1", "pub"):
+        df = task.table(name).read(spark).select(
+            F.lit(name).alias("table_name"),
+            "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn",
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+# pub replays plain last-writer-wins; ns0.* additionally dies under the
+# strict-< namespace drop watermark at T = max ts of the older half
+_ORACLE_NAMESPACE = f"""
+WITH log AS ({_DERIVE_SQL}),
+tagged AS (
+  SELECT *, CASE part % 3 WHEN 0 THEN 'ns0.t0' WHEN 1 THEN 'ns0.t1'
+            ELSE 'pub' END AS table_name
+  FROM log),
+t AS (SELECT MAX(ts) AS dts FROM log
+      WHERE lsn <= (SELECT CAST(FLOOR(MAX(lsn) / 2) AS BIGINT) FROM log)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY table_name, conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM tagged)
+SELECT table_name, conv_id, turn_idx, role, text, ts, part, lsn
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+  AND (table_name = 'pub' OR ts >= (SELECT dts FROM t))
+"""
+
+
 def _q_cdc_table_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for W4/TRUNCATE (reference DropCollection, one of the
     four whitelisted replicate ops, replicate_channel_manager.go:1162-1167):
@@ -335,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_final_state"] = _q_cdc_final_state
     q["cdc_table_truncate"] = _q_cdc_table_truncate
     q["cdc_multi_collection"] = _q_cdc_multi_collection
+    q["cdc_namespace"] = _q_cdc_namespace
     q["cdc_maintenance"] = _q_cdc_maintenance
     q["cdc_time_travel"] = _q_cdc_time_travel
 
@@ -651,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _ORACLE_FINAL_STATE,
         "cdc_table_truncate": _ORACLE_TABLE_TRUNCATE,
         "cdc_multi_collection": _ORACLE_MULTI_COLLECTION,
+        "cdc_namespace": _ORACLE_NAMESPACE,
         # maintenance must be logically invisible → same oracle as the
         # plain replay
         "cdc_maintenance": _ORACLE_FINAL_STATE,
