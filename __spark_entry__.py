@@ -674,6 +674,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mm_media_features"] = mm_media_features
 
+    def mm_decode(spark, sf):  # REAL decode: WAV (RIFF) + PPM (P6) header
+        # parsers over actual bytes inside Arrow batches; every decoded
+        # integer is a pure function of media_id, so the oracle checks the
+        # full synthesize→binary→parse round trip end-to-end
+        from milvus_cdc_spark.operators.multimodal import (
+            decode_media,
+            synthesize_decodable_media,
+        )
+
+        return decode_media(synthesize_decodable_media(spark, 48))
+    q["mm_decode"] = mm_decode
+
     # ===== analytics probes (Catalyst breadth: agg + multi-join) =====
     def tpch_pricing_summary(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -1000,6 +1012,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY query_id ORDER BY cosine_micro DESC, neighbor_id) AS rank
               FROM scored) WHERE rank <= 5""",
+        "mm_decode": """
+            WITH m AS (SELECT unnest(range(0, 48)) AS i)
+            SELECT i AS media_id,
+              CASE WHEN i % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+              CASE WHEN i % 2 = 0 THEN CAST(8000 + (i % 8) * 1000 AS INT) END AS sample_rate,
+              CASE WHEN i % 2 = 0 THEN CAST(1 + ((i // 2) % 2) AS INT) END AS channels,
+              CASE WHEN i % 2 = 0 THEN CAST(16 AS INT) END AS bits,
+              CASE WHEN i % 2 = 0 THEN CAST(100 + i AS INT) END AS n_frames,
+              CASE WHEN i % 2 = 0 THEN CAST(FLOOR((100 + i) * 1000.0
+                   / (8000 + (i % 8) * 1000)) AS INT) END AS duration_ms,
+              CASE WHEN i % 2 = 1 THEN CAST(8 + i % 16 AS INT) END AS width,
+              CASE WHEN i % 2 = 1 THEN CAST(6 + i % 12 AS INT) END AS height,
+              CASE WHEN i % 2 = 1 THEN CAST(255 AS INT) END AS maxval
+            FROM m""",
         "mm_media_features": """
             WITH m AS (SELECT unnest(range(0, 48)) AS i),
             base AS (SELECT i AS media_id,

@@ -28,3 +28,61 @@ def test_frame_sample_counts(spark):
     assert {r["media_id"] for r in got} == set(meta)
     for r in got:
         assert r["count"] == meta[r["media_id"]] // 500 + 1
+
+
+# ---- real WAV/PPM decode (round 3: the stub is gone for these formats) ----
+
+def test_wav_parser_round_trip():
+    from milvus_cdc_spark.operators.multimodal import (
+        parse_wav_header, synthesize_wav,
+    )
+
+    b = synthesize_wav(n_frames=1234, sample_rate=16000, channels=2)
+    d = parse_wav_header(b)
+    assert d == {
+        "sample_rate": 16000, "channels": 2, "bits": 16,
+        "n_frames": 1234, "duration_ms": 1234 * 1000 // 16000,
+    }
+    # malformed inputs fail loudly, not silently
+    import pytest
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav_header(b"\x00" * 32)
+    with pytest.raises(ValueError, match="fmt/data"):
+        parse_wav_header(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_ppm_parser_round_trip():
+    from milvus_cdc_spark.operators.multimodal import (
+        parse_ppm_header, synthesize_ppm,
+    )
+
+    d = parse_ppm_header(synthesize_ppm(17, 9))
+    assert d == {"width": 17, "height": 9, "maxval": 255}
+    # comments in the header are legal netpbm
+    d = parse_ppm_header(b"P6\n# a comment\n4 2\n255\n" + b"\x00" * 24)
+    assert d == {"width": 4, "height": 2, "maxval": 255}
+    import pytest
+
+    with pytest.raises(ValueError, match="P6"):
+        parse_ppm_header(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="truncated PPM pixel"):
+        parse_ppm_header(b"P6\n4 2\n255\n\x00\x00")
+
+
+def test_decode_media_distributed(spark):
+    """The parsers run inside mapInPandas over REAL bytes; decoded fields
+    survive the Arrow boundary with correct per-kind nulls."""
+    from milvus_cdc_spark.operators.multimodal import (
+        decode_media, synthesize_decodable_media,
+    )
+
+    out = decode_media(synthesize_decodable_media(spark, 24).repartition(4))
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 24
+    r0 = rows[0]  # audio
+    assert (r0["sample_rate"], r0["channels"], r0["n_frames"]) == (8000, 1, 100)
+    assert r0["width"] is None
+    r1 = rows[1]  # image
+    assert (r1["width"], r1["height"], r1["maxval"]) == (9, 7, 255)
+    assert r1["sample_rate"] is None
