@@ -29,17 +29,46 @@ from milvus_cdc_spark.functions import text as TXT
 # above it the 8GB broadcast limit / driver memory becomes the failure mode
 _BROADCAST_ROW_CAP = 200_000
 
+# quadratic correctness baselines warn above this input size: they stay
+# runnable (degrading to a shuffle join) but the LSH siblings are the
+# production path
+_QUADRATIC_WARN_ROWS = 100_000
 
-def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+
+def _warn_quadratic(n_rows: int, op: str, sibling: str) -> None:
+    if n_rows > _QUADRATIC_WARN_ROWS:
+        import warnings
+
+        warnings.warn(
+            f"{op} is a quadratic correctness baseline "
+            f"({n_rows:,} rows -> {n_rows * (n_rows - 1) // 2:,} pairs); "
+            f"use {sibling} at scale",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: CacheScope | None = None,
+) -> DataFrame:
     """Keeper per exact (normalized) text group: min id. Returns
-    (doc_id, keep) for every doc — keep=false marks removable dups."""
+    (doc_id, keep) for every doc — keep=false marks removable dups.
+
+    The skinny (id, fp) projection is persisted so the keeper aggregate
+    and the join side read ONE scan of the source (at 100 TB the second
+    full-table read would dominate the md5)."""
     fp = TXT.fingerprint(F.col(text_col))
-    keeper = df.select(F.col(id_col), fp.alias("fp")).groupBy("fp").agg(
+    ids = (scope or default_scope()).persist(
+        df.select(F.col(id_col), fp.alias("fp"))
+    )
+    keeper = ids.groupBy("fp").agg(
         F.min(id_col).alias("keeper_id"), F.count("*").alias("group_size")
     )
     return (
-        df.select(F.col(id_col), fp.alias("fp"))
-        .join(keeper, "fp")
+        ids.join(keeper, "fp")
         .select(
             F.col(id_col),
             (F.col(id_col) == F.col("keeper_id")).alias("keep"),
@@ -89,7 +118,9 @@ def shingle_jaccard_pairs(
     # side alone already fixes single-file-input parallelism). The count
     # runs on the INPUT df (one shingle row per doc), so a parquet source
     # answers it from footer stats without materializing the shingle cache.
-    b_side = F.broadcast(b) if df.count() <= _BROADCAST_ROW_CAP else b
+    n = df.count()
+    _warn_quadratic(n, "shingle_jaccard_pairs", "minhash_lsh_pairs")
+    b_side = F.broadcast(b) if n <= _BROADCAST_ROW_CAP else b
     pairs = a.join(b_side, F.col("a.id") < F.col("b.id"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
@@ -334,7 +365,9 @@ def embedding_neardup_pairs(
         F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
     ).repartition(par)
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
-    b_side = F.broadcast(b) if df.count() <= _BROADCAST_ROW_CAP else b
+    n = df.count()
+    _warn_quadratic(n, "embedding_neardup_pairs", "embedding_neardup_lsh_pairs")
+    b_side = F.broadcast(b) if n <= _BROADCAST_ROW_CAP else b
     pairs = a.join(b_side, F.col("id_a") < F.col("id_b"))
     cm = F.floor(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")) * 1e6).cast("bigint")
     return (

@@ -30,10 +30,16 @@ the properties the CDC sink needs, each an Iceberg analogue:
   (core/reader/data_barrier.go:21-49,
   core/reader/replicate_channel_manager.go:1281-1305).
 
-Single-writer commit protocol (the streaming engine serializes batches);
-on a shared filesystem a real deployment would swap the pointer write for
-an Iceberg/Hive catalog CAS — the apply logic above this layer would not
-change.
+Single-writer commit protocol, ENFORCED at this layer: every manifest
+commit runs under a short filesystem lease (``meta/LEASE``, O_EXCL create
+with stale-holder takeover) and re-verifies that the table version it
+planned against is still CURRENT — a second writer racing the same table
+fails loudly with :class:`CommitConflictError` instead of silently losing
+the other writer's buckets. Registry-level dup-table validation
+(streaming/registry.py) is advisory; this is the backstop a process that
+bypasses the registry still hits. On a shared filesystem a real deployment
+would swap the pointer write for an Iceberg/Hive catalog CAS — the apply
+logic above this layer would not change.
 """
 
 from __future__ import annotations
@@ -42,8 +48,18 @@ import hashlib
 import json
 import os
 import shutil
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer holds the table's commit lease or has advanced the
+    table past the manifest this commit was planned against. The analogue
+    of an Iceberg CAS failure: the loser of a two-writer race must fail
+    loudly (reference single-ownership: one task owns a collection's
+    write path, server/cdc_impl.go:371-497 dup-task validation)."""
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -161,9 +177,11 @@ class SnapshotTable:
         return m
 
     def current(self) -> Manifest:
+        return self.at_version(self._current_version())
+
+    def _current_version(self) -> int:
         with open(os.path.join(self.meta_dir, "CURRENT")) as f:
-            v = int(f.read().strip())
-        return self.at_version(v)
+            return int(f.read().strip())
 
     def at_version(self, v: int) -> Manifest:
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
@@ -184,6 +202,67 @@ class SnapshotTable:
         with open(tmp, "w") as f:
             f.write(str(m.version))
         os.replace(tmp, os.path.join(self.meta_dir, "CURRENT"))  # atomic swing
+
+    # -- single-writer lease ---------------------------------------------
+    LEASE_TTL_SEC = 30.0
+
+    def _lease_path(self) -> str:
+        return os.path.join(self.meta_dir, "LEASE")
+
+    @contextmanager
+    def commit_lease(
+        self,
+        owner: str | None = None,
+        ttl_sec: float | None = None,
+        timeout_sec: float | None = None,
+    ):
+        """Exclusive commit section. O_EXCL create arbitrates racers; a
+        lease older than ``ttl_sec`` belongs to a dead holder and is taken
+        over (unlink + re-race the O_EXCL create, so concurrent takeover
+        attempts still elect exactly one winner). The default acquire
+        timeout exceeds the TTL, so a crash-orphaned lease delays the next
+        writer at most one TTL instead of failing it."""
+        ttl = self.LEASE_TTL_SEC if ttl_sec is None else ttl_sec
+        timeout = (ttl * 1.5 + 1.0) if timeout_sec is None else timeout_sec
+        path = self._lease_path()
+        payload = json.dumps(
+            {"owner": owner or f"pid-{os.getpid()}", "ts": time.time()}
+        ).encode()
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, payload)
+                finally:
+                    os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        held = json.loads(f.read() or "{}")
+                except (OSError, ValueError):
+                    held = {}
+                if time.time() - held.get("ts", 0.0) > ttl:
+                    try:  # stale holder: takeover
+                        os.unlink(path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.monotonic() >= deadline:
+                    raise CommitConflictError(
+                        f"{self.root}: commit lease held by "
+                        f"{held.get('owner', '?')} (acquire timed out after "
+                        f"{timeout:.1f}s)"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
 
     # -- read ------------------------------------------------------------
     def read(
@@ -253,10 +332,48 @@ class SnapshotTable:
         ``base`` lets the (single) writer reuse the manifest it already
         loaded for the batch instead of re-reading and re-parsing it —
         manifest size grows with table history, and this is on the
-        per-epoch fixed-cost path."""
+        per-epoch fixed-cost path. Under the lease, the commit re-checks
+        (cheap int read, no re-parse) that ``base`` is still CURRENT: a
+        racing writer that advanced the table makes THIS commit the loser,
+        raising CommitConflictError — its replaced_buckets were computed
+        against a superseded file list and must not be merged."""
         m = base if base is not None else self.current()
         if str(epoch) in m.epochs:
             return m
+        with self.commit_lease():
+            cur_v = self._current_version()
+            if cur_v != m.version:
+                cur = self.at_version(cur_v)
+                if str(epoch) in cur.epochs:
+                    return cur  # crash-replay raced a re-apply: already landed
+                raise CommitConflictError(
+                    f"{self.root}: planned against v{m.version} but CURRENT "
+                    f"is v{cur_v} — a second writer advanced this table "
+                    "(single-writer protocol violated)"
+                )
+            return self._commit_locked(
+                m,
+                epoch,
+                replaced_buckets=replaced_buckets,
+                add_columns=add_columns,
+                renames=renames,
+                drop_watermarks=drop_watermarks,
+                truncate_watermark=truncate_watermark,
+                summary_delta=summary_delta,
+            )
+
+    def _commit_locked(
+        self,
+        m: Manifest,
+        epoch: int,
+        *,
+        replaced_buckets=None,
+        add_columns=None,
+        renames=None,
+        drop_watermarks=None,
+        truncate_watermark=None,
+        summary_delta=None,
+    ) -> Manifest:
         files = dict(m.files)
         for b, rels in (replaced_buckets or {}).items():
             if rels:
@@ -379,7 +496,15 @@ class SnapshotTable:
             summary={**m.summary, "last_compaction_version": m.version},
             truncate_watermark=None if clear_drop_watermarks else m.truncate_watermark,
         )
-        self._write_manifest(nm)
+        with self.commit_lease():
+            cur_v = self._current_version()
+            if cur_v != m.version:
+                raise CommitConflictError(
+                    f"{self.root}: compaction planned against v{m.version} "
+                    f"but CURRENT is v{cur_v} — a writer committed during "
+                    "the rewrite; re-run compact"
+                )
+            self._write_manifest(nm)
         return nm
 
     def vacuum(

@@ -27,11 +27,23 @@ def con():
 
 
 def _canon(v):
+    # Mirror of the driver's value canonicalization (everything to a
+    # string — scripts/check_correctness.py::canon): nullable int columns
+    # make raw tuples unsortable (None < int TypeError).
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
     if isinstance(v, float):
-        return round(v, 9)
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
     if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return v
+        s = v.isoformat(sep=" ")
+        return s[:-3] if s.endswith("000") and "." in s else s
+    return str(v)
 
 
 def _rows_to_set(cols, rows):
