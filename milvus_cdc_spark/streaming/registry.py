@@ -68,15 +68,45 @@ class TaskRegistry:
         # server/cdc_api.go:26-36)
         if not (spec.get("table") or spec.get("tables_root")):
             raise ValueError("task spec needs 'table' or 'tables_root'")
+        # capacity guard (reference MaxTaskNum, server/cdc_impl.go:257-258,
+        # default 100 in server/configs/cdc.yaml)
+        existing = self.list()
+        max_tasks = int(
+            spec.get("max_tasks", os.environ.get("CDC_MAX_TASKS", 100))
+        )
+        if len(existing) >= max_tasks:
+            raise ValueError(
+                f"the task num has reached the limit, {max_tasks}"
+            )
         # two tasks writing one table (or table tree) would break the
         # single-writer commit protocol; sharing a checkpoint corrupts both
-        # streams' offsets
-        for other in self.list():
+        # streams' offsets. Containment counts too: a single-table task
+        # nested UNDER another task's tables_root is the reference's
+        # dup-collection-vs-wildcard conflict (server/cdc_impl.go:371-497)
+        # — the wildcard task would create/merge the same table dir.
+        def _contains(root: str | None, p: str | None) -> bool:
+            if not root or not p:
+                return False
+            root, p = os.path.normpath(root), os.path.normpath(p)
+            return p == root or p.startswith(root + os.sep)
+
+        for other in existing:
             for field in ("table", "tables_root", "checkpoint"):
                 a, b = other.get(field), spec.get(field)
                 if a and b and os.path.normpath(a) == os.path.normpath(b):
                     raise ValueError(
                         f"task {other['name']} already owns {field} {b}"
+                    )
+            for root_owner, leaf in (
+                (other.get("tables_root"), spec.get("table")),
+                (spec.get("tables_root"), other.get("table")),
+                (other.get("tables_root"), spec.get("tables_root")),
+                (spec.get("tables_root"), other.get("tables_root")),
+            ):
+                if _contains(root_owner, leaf):
+                    raise ValueError(
+                        f"task {other['name']} conflicts: {leaf} overlaps "
+                        f"a subscribed table tree ({root_owner})"
                     )
         spec = {**spec, "name": name, "created_ts": time.time()}
         tmp = path + ".tmp"

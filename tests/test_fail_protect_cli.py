@@ -127,6 +127,45 @@ def test_registry_create_validation(tmp_path):
     reg.create("d", {"log": "/l", "table": "/t2", "checkpoint": str(tmp_path / "c2")})
 
 
+def test_registry_wildcard_overlap_and_capacity(tmp_path):
+    """Reference create-task validation breadth: a single-table task nested
+    under another task's subscribed tables_root is the dup-collection-vs-
+    wildcard conflict (server/cdc_impl.go:371-497); MaxTaskNum caps the
+    registry (server/cdc_impl.go:257-258, default 100 in cdc.yaml)."""
+    import pytest
+
+    reg = TaskRegistry(str(tmp_path / "tasks"))
+    reg.create(
+        "multi",
+        {"log": "/l", "tables_root": "/warehouse", "checkpoint": str(tmp_path / "cm")},
+    )
+    with pytest.raises(ValueError, match="overlaps"):
+        reg.create(
+            "leaf",
+            {"log": "/l2", "table": "/warehouse/convs", "checkpoint": str(tmp_path / "cl")},
+        )
+    with pytest.raises(ValueError, match="overlaps"):
+        reg.create(
+            "nested",
+            {"log": "/l3", "tables_root": "/warehouse/ns1", "checkpoint": str(tmp_path / "cn")},
+        )
+    # sibling trees are fine
+    reg.create(
+        "other",
+        {"log": "/l4", "tables_root": "/warehouse2", "checkpoint": str(tmp_path / "co")},
+    )
+    with pytest.raises(ValueError, match="reached the limit"):
+        reg.create(
+            "over",
+            {
+                "log": "/l5",
+                "table": "/t9",
+                "checkpoint": str(tmp_path / "c9"),
+                "max_tasks": 2,
+            },
+        )
+
+
 def test_position_reports_offsets_and_lineage(spark, tmp_path):
     """getPosition analogue: source offsets from the streaming checkpoint
     + applied lsn watermarks per part from lineage — no Spark session."""
