@@ -626,6 +626,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_minhash_lsh"] = doc_minhash_lsh
 
+    def doc_dup_clusters(spark, sf):
+        # pairs → clusters → canonical keeper: connected components over
+        # the minhash pair graph (iterative min-label propagation on the
+        # candidate SUBGRAPH only; singletons join back corpus-side)
+        docs = _t(spark, sf, "documents")
+        pairs = DD.minhash_lsh_pairs(
+            docs, threshold_milli=100, n_hashes=16, bands=4, k=2
+        )
+        return DD.duplicate_clusters(pairs, docs=docs)
+    q["doc_dup_clusters"] = doc_dup_clusters
+
     def doc_simhash(spark, sf):
         return DD.simhash_pairs(_t(spark, sf, "documents"), max_hamming=6, bits=32, bands=4)
     q["doc_simhash"] = doc_simhash
@@ -729,7 +740,7 @@ def oracle_sql() -> dict[str, str]:
     }
     best = f"greatest({lang_scores['en']}, {lang_scores['de']}, {lang_scores['fr']}, {lang_scores['es']})"
 
-    return {
+    d = {
         "cdc_final_state": _ORACLE_FINAL_STATE,
         "cdc_table_truncate": _ORACLE_TABLE_TRUNCATE,
         "cdc_multi_collection": _ORACLE_MULTI_COLLECTION,
@@ -1056,6 +1067,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name""",
     }
+    # cluster assignment = connected components over the (deterministic)
+    # minhash pair graph; the oracle computes the same fixpoint with a
+    # recursive transitive-closure CTE over the SAME pair SQL, then takes
+    # min(reachable id) per node — singletons join back from `documents`
+    d["doc_dup_clusters"] = f"""
+        WITH RECURSIVE p AS ({d["doc_minhash_lsh"]}),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+        reach(id, lab) AS (
+          SELECT DISTINCT src, src FROM e
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id
+        ),
+        comp AS (SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id),
+        alln AS (SELECT doc.doc_id AS id,
+                        COALESCE(comp.cluster_id, doc.doc_id) AS cluster_id
+                 FROM documents doc LEFT JOIN comp ON comp.id = doc.doc_id),
+        sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+               FROM alln GROUP BY cluster_id)
+        SELECT a.id AS doc_id, a.cluster_id, s.cluster_size,
+               a.id = a.cluster_id AS is_keeper
+        FROM alln a JOIN sz s USING (cluster_id)"""
+    return d
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -377,3 +377,100 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine_micro") >= threshold_micro)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → canonical
+    cluster per document: ``cluster_id`` = min id in the component,
+    ``is_keeper`` marks the canonical survivor. This is the step every
+    dedup pipeline needs AFTER pair generation (pairs → clusters → keep
+    one per cluster): pairwise output alone cannot answer "which rows do
+    I drop" once duplicates chain (a~b, b~c ⇒ {a,b,c} is one group even
+    though (a,c) was never emitted).
+
+    Scale design: the iterative min-label propagation runs ONLY over the
+    candidate subgraph (docs appearing in ≥1 pair) — orders of magnitude
+    smaller than the corpus — and singletons join back in one final pass,
+    so the loop cost is O(dup_edges × diameter), independent of corpus
+    size. Each round is one edge⋈label shuffle + one min-aggregate;
+    near-dup components are band-clique dense, so the diameter (= round
+    count) is small in practice. Exact and deterministic: min-label
+    propagation converges to the same fixpoint under any execution order,
+    which is what lets the DuckDB oracle check it with a recursive CTE.
+
+    ``pairs``: (doc_a, doc_b [, score…]) — any verified pair output from
+    this module. ``docs``: optional full corpus; when given, every doc
+    gets a row (singletons form size-1 clusters of themselves).
+    Returns (doc_id, cluster_id, cluster_size, is_keeper).
+
+    Iteration mechanics: every round's labels are ``localCheckpoint``ed —
+    the MANDATORY move for iterative DataFrame algorithms. The round
+    recurrence references the previous labels twice (once in the
+    neighbor-min aggregate, once in the rebind join), so without plan
+    truncation the logical plan DOUBLES per round (a diameter-9 chain
+    overflowed Spark's 2 GB plan-string cap in testing); with it each
+    round plans against materialized blocks and stays O(1). The loop is
+    already eager (one convergence-count job per round), so checkpointing
+    adds no extra pass.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    try:
+        labels = (
+            edges.select(F.col("src").alias("id")).distinct()
+            .select("id", F.col("id").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iters):
+            # one round: every node adopts min(own label, neighbors' labels)
+            nmin = (
+                edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("lab").alias("nlab"))
+            )
+            # F.least skips nulls, so no-neighbor-update rows keep lab
+            nxt = (
+                labels.join(nmin, "id", "left")
+                .select(
+                    "id",
+                    F.least("lab", "nlab").alias("lab"),
+                    (F.col("nlab") < F.col("lab")).alias("chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_changed = nxt.filter(F.col("chg")).count()
+            labels = nxt.select("id", "lab")
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"duplicate_clusters did not converge in {max_iters} rounds "
+                "(component diameter exceeds the bound — raise max_iters)"
+            )
+        final = labels
+    finally:
+        edges.unpersist()
+
+    if docs is not None:
+        final = (
+            docs.select(F.col(id_col).alias("id"))
+            .join(final, "id", "left")
+            .select("id", F.coalesce("lab", F.col("id")).alias("lab"))
+        )
+    sizes = final.groupBy("lab").agg(F.count("*").alias("cluster_size"))
+    return final.join(sizes, "lab").select(
+        F.col("id").alias(id_col),
+        F.col("lab").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("lab")).alias("is_keeper"),
+    )

@@ -34,9 +34,15 @@ WARMUP_EVENTS = 1_000_000
 
 
 def _drain_main(cpus: int, work: str, files_per_trigger: int, n_buckets: int) -> None:
-    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
-    from milvus_cdc_spark.session import get_spark
+    from milvus_cdc_spark.session import _mem_avail_gb, get_spark
     from milvus_cdc_spark.streaming.engine import run_until_drained
+
+    # explicit heap opts in to Xms/AlwaysPreTouch, but only when the
+    # pre-touched heap fits free memory (same guard as bench.py) —
+    # session.py's adaptive sizing handles constrained hosts
+    avail = _mem_avail_gb()
+    if avail is None or avail >= 20:
+        os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 
     spark = get_spark(
         "sustained",

@@ -146,3 +146,57 @@ def test_embedding_neardup_pairs_symmetric_threshold(spark, embs):
     sub = embs.filter(F.col("vec_id") < 50)
     pairs = DD.embedding_neardup_pairs(sub, threshold_micro=-1000000).collect()
     assert len(pairs) == 50 * 49 // 2  # cosine >= -1 keeps all a<b pairs once
+
+
+def test_duplicate_clusters_chain_and_singletons(spark):
+    """pairs → connected components: chained dups collapse into ONE
+    cluster even though the transitive pair was never emitted; docs with
+    no pairs form size-1 clusters of themselves."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], ["doc_id"])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in DD.duplicate_clusters(pairs, docs=docs).collect()
+    }
+    assert got == {
+        1: (1, 3, True), 2: (1, 3, False), 3: (1, 3, False),
+        10: (10, 2, True), 11: (10, 2, False),
+        99: (99, 1, True),
+    }
+    # without a corpus: only subgraph nodes appear
+    sub = {
+        r["doc_id"]: r["cluster_id"]
+        for r in DD.duplicate_clusters(pairs).collect()
+    }
+    assert sub == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A diameter-9 chain needs multiple propagation rounds; every node
+    must still land on the global min label."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], ["doc_a", "doc_b"]
+    )
+    rows = DD.duplicate_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {1}
+    assert {r["cluster_size"] for r in rows} == {10}
+    assert sorted(r["doc_id"] for r in rows) == list(range(1, 11))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.duplicate_clusters(pairs, max_iters=2)
+
+
+def test_duplicate_clusters_matches_recursive_oracle(spark, docs):
+    """End-to-end vs DuckDB: minhash pairs → clusters must equal the
+    recursive-CTE transitive closure over the SAME pair SQL."""
+    import __spark_entry__ as e
+
+    got = sorted(
+        (r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in e.queries()["doc_dup_clusters"](spark, SF).collect()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = sorted(map(tuple, con.sql(e.oracle_sql()["doc_dup_clusters"]).fetchall()))
+    assert got == want
