@@ -348,6 +348,73 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND ts >= (SELECT tts FROM t)
 """
 
 
+def _q_cdc_schema_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for WIDEN_COLUMN (Iceberg-spec type promotion;
+    reference: schema changes replicate through the op channel,
+    core/reader/etcd_op.go:609-660): epoch 0 writes the older half of the
+    log at the NARROW types; epoch 1 applies ADD_COLUMN(score int) plus
+    WIDEN_COLUMN(score→bigint, turn_idx→bigint) — metadata-only, no file
+    rewrite; epoch 2 applies the newer half (which carries score in the
+    dynamic bag). The final read must upcast epoch-0's int32 files at scan
+    time and type both promoted columns bigint."""
+    from datetime import datetime
+
+    log = _derive_changelog(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    log = log.withColumn(
+        "extra",
+        F.when(
+            F.col("lsn") > mid,
+            F.create_map(
+                F.lit("score"),
+                F.pmod(F.col("lsn"), F.lit(1000)).cast("string"),
+            ),
+        ),
+    )
+    ts0 = datetime(2024, 1, 1)
+    ddl = spark.createDataFrame(
+        [
+            (hi + 1, ts0, 0, S.OP_ADD_COLUMN, None, None, None, None, None,
+             '{"column":"score","type":"int"}', None),
+            (hi + 2, ts0, 0, S.OP_WIDEN_COLUMN, None, None, None, None, None,
+             '{"column":"score","type":"bigint"}', None),
+            (hi + 3, ts0, 0, S.OP_WIDEN_COLUMN, None, None, None, None, None,
+             '{"column":"turn_idx","type":"bigint"}', None),
+        ],
+        S.CHANGELOG_SCHEMA,
+    )
+    root = _probe_table_root(sf_dir, "schema_widen")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    apply_batch(spark, table, log.filter(F.col("lsn") <= mid), epoch=0)
+    apply_batch(spark, table, ddl, epoch=1)
+    apply_batch(spark, table, log.filter(F.col("lsn") > mid), epoch=2)
+    return table.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn", "score"
+    )
+
+
+# the engine's widen is metadata-only, so the oracle is the plain
+# last-writer fold with both promoted columns CAST wide; score exists only
+# on events newer than the mid-log split (where the probe injects it into
+# the dynamic bag as lsn % 1000)
+_ORACLE_SCHEMA_WIDEN = f"""
+WITH log AS ({_DERIVE_SQL}),
+m AS (SELECT CAST(FLOOR(MAX(lsn) / 2) AS BIGINT) AS mid FROM log),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, ts, part, lsn,
+       CASE WHEN lsn > (SELECT mid FROM m)
+            THEN CAST(lsn % 1000 AS BIGINT) END AS score
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+"""
+
+
 # ---- portable SQL fragments for the text family ---------------------------
 _SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -403,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ===== CDC engine inventory (SURVEY.md §2) =====
     q["cdc_final_state"] = _q_cdc_final_state
     q["cdc_table_truncate"] = _q_cdc_table_truncate
+    q["cdc_schema_widen"] = _q_cdc_schema_widen
     q["cdc_multi_collection"] = _q_cdc_multi_collection
     q["cdc_namespace"] = _q_cdc_namespace
     q["cdc_maintenance"] = _q_cdc_maintenance
@@ -743,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "cdc_final_state": _ORACLE_FINAL_STATE,
         "cdc_table_truncate": _ORACLE_TABLE_TRUNCATE,
+        "cdc_schema_widen": _ORACLE_SCHEMA_WIDEN,
         "cdc_multi_collection": _ORACLE_MULTI_COLLECTION,
         "cdc_namespace": _ORACLE_NAMESPACE,
         # maintenance must be logically invisible → same oracle as the

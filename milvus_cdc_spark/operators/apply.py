@@ -133,18 +133,27 @@ def dedup_last_writer(
 
 def _parse_ddl(
     rows,
-) -> tuple[list[tuple[str, str]], dict[str, str], dict[int, str], str | None]:
-    """(add_columns, renames{from→to}, drop_watermarks{part→iso ts},
-    truncate_ts) from DDL rows.
+) -> tuple[
+    list[tuple[str, str]],
+    dict[str, str],
+    dict[str, str],
+    dict[int, str],
+    str | None,
+]:
+    """(add_columns, renames{from→to}, widens{column→type},
+    drop_watermarks{part→iso ts}, truncate_ts) from DDL rows.
 
     adds are deduped by column name (at-least-once upstream delivery can
     replay the same ADD_COLUMN into one batch); unknown types degrade to
-    string rather than poisoning the manifest schema."""
-    from milvus_cdc_spark.plans.manifest import _SPARK_TYPES
+    string rather than poisoning the manifest schema. Several WIDEN_COLUMNs
+    for one column in a batch keep the widest (lattice max — replays
+    converge)."""
+    from milvus_cdc_spark.plans.manifest import _SPARK_TYPES, is_widening
 
     adds: list[tuple[str, str]] = []
     seen_adds: set[str] = set()
     renames: dict[str, str] = {}
+    widens: dict[str, str] = {}
     drops: dict[int, str] = {}
     truncate_ts: str | None = None
     for r in sorted(rows, key=lambda r: r["lsn"]):
@@ -159,6 +168,12 @@ def _parse_ddl(
                 adds.append((name, typ))
         elif r["op"] == S.OP_RENAME_COLUMN:
             renames[arg["from"]] = arg["to"]
+        elif r["op"] == S.OP_WIDEN_COLUMN:
+            name, typ = arg["column"], arg.get("type", "")
+            if typ in _SPARK_TYPES and (
+                name not in widens or is_widening(widens[name], typ)
+            ):
+                widens[name] = typ
         elif r["op"] == S.OP_DROP_PARTITION:
             part = int(arg.get("part", r["part"]))
             ts = r["ts"].isoformat(sep=" ")
@@ -168,7 +183,7 @@ def _parse_ddl(
             ts = r["ts"].isoformat(sep=" ")
             if truncate_ts is None or ts > truncate_ts:
                 truncate_ts = ts
-    return adds, renames, drops, truncate_ts
+    return adds, renames, widens, drops, truncate_ts
 
 
 def _strip_promoted(df: DataFrame, promoted: list[str]) -> DataFrame:
@@ -355,7 +370,7 @@ def apply_batch(
     # nothing in CHANGELOG_SCHEMA forces a dedup key to stay in one part.
     n_distinct = batch_df.agg(F.count_distinct("lsn")).collect()[0][0]
     ddl_rows = [d for r in per_part for d in r["ddl"]]
-    adds, renames, new_drops, new_truncate = _parse_ddl(ddl_rows)
+    adds, renames, new_widens, new_drops, new_truncate = _parse_ddl(ddl_rows)
     touched = sorted({b for r in per_part for b in r["buckets"]})
     n_insert = sum(r["n_insert"] for r in per_part)
     n_delete = sum(r["n_delete"] for r in per_part)
@@ -375,6 +390,20 @@ def apply_batch(
 
     physical_cols = [c for c, _ in m.columns]
     col_types = {c: t for c, t in m.columns} | {c: t for c, t in adds}
+    # WIDEN_COLUMNs whose column exists (in the table, an earlier manifest
+    # pending, or this batch's adds) and are genuine promotions: both merge
+    # sides cast to the widened type below so the epoch's files come out
+    # wide; everything else (widen-before-add across batches) rides to the
+    # commit as a pending widen (manifest.pending_widens)
+    from milvus_cdc_spark.plans.manifest import is_widening
+
+    effective_widens = dict(m.pending_widens) | dict(new_widens)
+    widen_applied = {
+        c: t
+        for c, t in effective_widens.items()
+        if c in col_types and is_widening(col_types[c], t)
+    }
+    col_types.update(widen_applied)
     evolved_payload = [
         c for c in physical_cols if c not in ("conv_id", "turn_idx", "ts", "part", "lsn")
         and c not in _BASE_PAYLOAD
@@ -391,6 +420,11 @@ def apply_batch(
         dml = dml.withColumn(
             c, F.col("extra").getItem(c).cast(col_types.get(c, "string"))
         )
+    for c, t in widen_applied.items():
+        # widened BASE columns (e.g. turn_idx int→bigint) arrive from the
+        # changelog at the narrow type; evolved ones were already cast wide
+        if c in dml.columns:
+            dml = dml.withColumn(c, F.col(c).cast(t))
     # the raw dynamic-field bag rides along so an ADD_COLUMN seen in a LATER
     # batch can still recover values at read time (order-insensitive DDL) —
     # but keys already PROMOTED to typed columns are stripped (their value
@@ -428,6 +462,12 @@ def apply_batch(
         for c, typ in adds:
             if c not in physical_cols:
                 target = target.withColumn(c, F.lit(None).cast(typ))
+        # stored rows were written at the pre-WIDEN type — cast so the
+        # union with the (already wide) action side is exact and the
+        # rewritten buckets come out at the promoted type
+        for c, t in widen_applied.items():
+            if c in target.columns:
+                target = target.withColumn(c, F.col(c).cast(t))
         # promote stored dynamic-bag values into their typed columns and
         # strip the promoted keys (mirrors the action side): rewritten
         # buckets come out upgraded, and the logical read's coalesce
@@ -554,6 +594,7 @@ def apply_batch(
         replaced_buckets=replaced,
         add_columns=adds,
         renames=renames,
+        widen_columns=new_widens,
         drop_watermarks=new_drops,
         truncate_watermark=new_truncate,
         summary_delta={"events_applied": n_events},

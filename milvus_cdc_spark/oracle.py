@@ -29,6 +29,9 @@ _RANKS = {
     S.OP_UPSERT: 2,
     S.OP_ADD_COLUMN: 3,
     S.OP_RENAME_COLUMN: 3,
+    # metadata-only type promotion: values are plain Python ints either
+    # way, so the sequential fold just skips it
+    S.OP_WIDEN_COLUMN: 3,
 }
 
 
@@ -57,6 +60,8 @@ def replay(events: list[dict[str, Any]]) -> tuple[list[dict[str, Any]], list[str
             # smaller (ts, rank, lsn), so clearing state matches the
             # engine's strict-< truncate watermark exactly
             state = {}
+        elif op == S.OP_WIDEN_COLUMN:
+            pass  # type promotion — no value change in the Python fold
         elif op == S.OP_DELETE:
             state.pop((e["conv_id"], e["turn_idx"]), None)
         else:  # INSERT / UPSERT — full-row replace

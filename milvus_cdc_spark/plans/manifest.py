@@ -69,10 +69,30 @@ _SPARK_TYPES = {
     "string": T.StringType(),
     "int": T.IntegerType(),
     "bigint": T.LongType(),
+    "float": T.FloatType(),
     "timestamp": T.TimestampType(),
     "double": T.DoubleType(),
     "boolean": T.BooleanType(),
 }
+
+# Iceberg-spec type-promotion lattice ("Schema Evolution": int → long,
+# float → double — the lossless widenings). Promotion is METADATA-ONLY:
+# the manifest column type flips and Spark 4's parquet readers upcast the
+# old narrower files at scan time (verified: explicit LongType/DoubleType
+# read schema over int32/float32-written files), so no data rewrite ever
+# happens. Anything not on a lattice edge (narrowing, cross-family) is an
+# invalid promotion and is ignored as a documented no-op — replayed or
+# stale WIDEN events must converge, not corrupt.
+_WIDEN_NEXT = {"int": "bigint", "float": "double"}
+
+
+def is_widening(cur: str, new: str) -> bool:
+    """True iff ``cur`` → ``new`` is a (transitive) lossless promotion."""
+    while cur in _WIDEN_NEXT:
+        cur = _WIDEN_NEXT[cur]
+        if cur == new:
+            return True
+    return False
 
 
 def _ts_to_str(v) -> str:
@@ -111,6 +131,11 @@ class Manifest:
     # (DropCollection analogue). None = never truncated. Declared last with
     # a default so pre-truncate manifests keep parsing.
     truncate_watermark: str | None = None
+    # WIDEN_COLUMN requests for columns the table doesn't have YET
+    # (out-of-order batching can deliver the widen before the ADD_COLUMN);
+    # applied — and cleared — by the commit that finally adds the column.
+    # Default keeps pre-widen manifests parsing.
+    pending_widens: dict[str, str] = field(default_factory=dict)
 
     def physical_schema(self) -> T.StructType:
         # System columns: `alive` — False rows are delete tombstones kept so
@@ -322,6 +347,7 @@ class SnapshotTable:
         replaced_buckets: dict[int, list[str]] | None = None,
         add_columns: list[tuple[str, str]] | None = None,
         renames: dict[str, str] | None = None,
+        widen_columns: dict[str, str] | None = None,
         drop_watermarks: dict[int, str] | None = None,
         truncate_watermark: str | None = None,
         summary_delta: dict[str, Any] | None = None,
@@ -357,6 +383,7 @@ class SnapshotTable:
                 replaced_buckets=replaced_buckets,
                 add_columns=add_columns,
                 renames=renames,
+                widen_columns=widen_columns,
                 drop_watermarks=drop_watermarks,
                 truncate_watermark=truncate_watermark,
                 summary_delta=summary_delta,
@@ -370,6 +397,7 @@ class SnapshotTable:
         replaced_buckets=None,
         add_columns=None,
         renames=None,
+        widen_columns=None,
         drop_watermarks=None,
         truncate_watermark=None,
         summary_delta=None,
@@ -388,6 +416,25 @@ class SnapshotTable:
                 columns.append([name, typ])
                 added.append(name)
                 have.add(name)  # dedupe replayed ADD_COLUMNs in one batch
+        # type promotion: fold this batch's WIDEN requests into any still
+        # pending, keeping the widest per column (replays and stale widens
+        # converge by lattice max); apply every request whose column now
+        # exists, keep the rest pending for a later ADD_COLUMN.
+        pending = dict(m.pending_widens)
+        for name, typ in (widen_columns or {}).items():
+            if typ not in _SPARK_TYPES:
+                continue
+            old = pending.get(name)
+            if old is None or is_widening(old, typ):
+                pending[name] = typ
+        for col in columns:
+            req = pending.get(col[0])
+            if req is not None:
+                if is_widening(col[1], req):
+                    col[1] = req
+                # applied, already-wide, or invalid (narrowing/cross-family
+                # documented no-op) — either way it is no longer pending
+                pending.pop(col[0])
         ren = dict(m.renames)
         for frm, to in (renames or {}).items():
             # `frm` is a logical name; resolve through the IN-PROGRESS map
@@ -422,6 +469,7 @@ class SnapshotTable:
             added=added,
             summary=summary,
             truncate_watermark=trunc,
+            pending_widens=pending,
         )
         self._write_manifest(nm)
         return nm
@@ -495,6 +543,7 @@ class SnapshotTable:
             added=list(m.added),
             summary={**m.summary, "last_compaction_version": m.version},
             truncate_watermark=None if clear_drop_watermarks else m.truncate_watermark,
+            pending_widens=dict(m.pending_widens),
         )
         with self.commit_lease():
             cur_v = self._current_version()

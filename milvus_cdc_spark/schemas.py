@@ -31,9 +31,23 @@ OP_DROP_PARTITION = "DROP_PARTITION"
 OP_TRUNCATE = "TRUNCATE"
 OP_ADD_COLUMN = "ADD_COLUMN"
 OP_RENAME_COLUMN = "RENAME_COLUMN"
+# lossless type promotion (int→bigint, float→double) — the Iceberg-spec
+# "type promotion" evolution rule, metadata-only: the manifest column type
+# flips, old parquet files upcast at scan time (Spark 4 widening reader),
+# no data rewrite. Stands in for the reference's AlterCollection schema
+# replication (schema changes ride the same op channel as the rest of the
+# DDL, core/reader/etcd_op.go:609-660). ddl_arg:
+# ``{"column": <logical name>, "type": <wider type>}``.
+OP_WIDEN_COLUMN = "WIDEN_COLUMN"
 
 DML_OPS = (OP_INSERT, OP_UPSERT, OP_DELETE)
-DDL_OPS = (OP_DROP_PARTITION, OP_TRUNCATE, OP_ADD_COLUMN, OP_RENAME_COLUMN)
+DDL_OPS = (
+    OP_DROP_PARTITION,
+    OP_TRUNCATE,
+    OP_ADD_COLUMN,
+    OP_RENAME_COLUMN,
+    OP_WIDEN_COLUMN,
+)
 ALL_OPS = DML_OPS + DDL_OPS
 
 # namespace (database) lifecycle — the reference replicates

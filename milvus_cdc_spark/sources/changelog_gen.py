@@ -46,6 +46,7 @@ def generate_changelog(
     evolve: bool = True,
     drops: bool = True,
     truncates: bool = False,
+    widens: bool = False,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Return an ``n``-row changelog DataFrame with CHANGELOG_SCHEMA."""
@@ -64,12 +65,16 @@ def generate_changelog(
     # TRUNCATE (DropCollection analogue) placed early enough that plenty
     # of DML lands both before (killed) and after (survives)
     truncate_lsn = (n * 40) // 100 if truncates and n >= 20 else -1
+    # WIDEN_COLUMN (Iceberg type promotion, int→bigint on turn_idx) after
+    # the ADD so plenty of narrow-typed files exist to upcast at read
+    widen_lsn = (n * 65) // 100 if widens and n >= 20 else -1
 
     is_add = c == F.lit(add_lsn) if add_lsn >= 0 else F.lit(False)
     is_rename = c == F.lit(rename_lsn) if rename_lsn >= 0 else F.lit(False)
     is_drop = c.isin(drop_lsns) if drop_lsns else F.lit(False)
     is_truncate = c == F.lit(truncate_lsn) if truncate_lsn >= 0 else F.lit(False)
-    is_ddl = is_add | is_rename | is_drop | is_truncate
+    is_widen = c == F.lit(widen_lsn) if widen_lsn >= 0 else F.lit(False)
+    is_ddl = is_add | is_rename | is_drop | is_truncate | is_widen
 
     hv = hmod(1, 100)
     op = (
@@ -77,6 +82,7 @@ def generate_changelog(
         .when(is_rename, F.lit(S.OP_RENAME_COLUMN))
         .when(is_drop, F.lit(S.OP_DROP_PARTITION))
         .when(is_truncate, F.lit(S.OP_TRUNCATE))
+        .when(is_widen, F.lit(S.OP_WIDEN_COLUMN))
         .when(hv < delete_pct, F.lit(S.OP_DELETE))
         .when(hv < delete_pct + upsert_pct, F.lit(S.OP_UPSERT))
         .otherwise(F.lit(S.OP_INSERT))
@@ -118,6 +124,7 @@ def generate_changelog(
         .when(is_rename, F.lit('{"from":"tool","to":"tool_name"}'))
         .when(is_drop, F.concat(F.lit('{"part":'), part, F.lit("}")))
         .when(is_truncate, F.lit("{}"))
+        .when(is_widen, F.lit('{"column":"turn_idx","type":"bigint"}'))
     )
 
     extra = F.when(
