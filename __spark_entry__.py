@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from milvus_cdc_spark import schemas as S
 from milvus_cdc_spark.functions import text as TXT
 from milvus_cdc_spark.operators import dedup as DD
-from milvus_cdc_spark.operators.apply import apply_batch
+from milvus_cdc_spark.operators.apply import apply_batch, bootstrap_table
 from milvus_cdc_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from milvus_cdc_spark.plans.manifest import SnapshotTable
 
@@ -415,6 +415,99 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
 
 
+def _q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for the snapshot-bootstrap path (initial full load →
+    changelog-tail handover, operators/apply.py::bootstrap_table; the
+    reference replicates forward from a position and leaves pre-existing
+    data to an out-of-band copy, server/cdc_impl.go:371-497): the older
+    half of the log is folded into a plain last-writer STATE — what a
+    pre-existing table looks like — bootstrapped at reserved epoch −1,
+    then the newer half is applied as an ordinary tail epoch. The final
+    state must equal the FULL replay (same oracle as cdc_final_state),
+    proving snapshot + incremental ≡ full history."""
+    from pyspark.sql import Window
+
+    log = _derive_changelog(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").desc(),
+        F.when(F.col("op") == "DELETE", F.lit(0)).otherwise(F.lit(2)).desc(),
+        F.col("lsn").desc(),
+    )
+    snapshot = (
+        log.filter(F.col("lsn") <= mid)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "DELETE"))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "part", "lsn")
+    )
+    root = _probe_table_root(sf_dir, "bootstrap")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    bootstrap_table(spark, table, snapshot)
+    apply_batch(spark, table, log.filter(F.col("lsn") > mid), epoch=0)
+    return table.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn"
+    )
+
+
+def _q_cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for the incremental-read / changelog-scan analogue
+    (plans/manifest.py::SnapshotTable.changes — Iceberg's
+    create_changelog_view): apply the older half as epoch 0, record that
+    snapshot version, apply the newer half as epoch 1, then diff the two
+    versions. The emitted insert/update/delete rows must equal the
+    SQL full-outer join of the two independently-computed states."""
+    log = _derive_changelog(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    root = _probe_table_root(sf_dir, "changes")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    apply_batch(spark, table, log.filter(F.col("lsn") <= mid), epoch=0)
+    v1 = table.current().version
+    apply_batch(spark, table, log.filter(F.col("lsn") > mid), epoch=1)
+    return table.changes(spark, v1).select(
+        "change_type", "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn"
+    )
+
+
+_ORACLE_TABLE_CHANGES = f"""
+WITH log AS ({_DERIVE_SQL}),
+m AS (SELECT CAST(FLOOR(MAX(lsn) / 2) AS BIGINT) AS mid FROM log),
+old_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log WHERE lsn <= (SELECT mid FROM m)),
+old_state AS (SELECT conv_id, turn_idx, role, text, ts, part, lsn
+              FROM old_ranked WHERE rn = 1 AND op <> 'DELETE'),
+new_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log),
+new_state AS (SELECT conv_id, turn_idx, role, text, ts, part, lsn
+              FROM new_ranked WHERE rn = 1 AND op <> 'DELETE')
+SELECT CASE WHEN o.conv_id IS NULL THEN 'insert'
+            WHEN n.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       COALESCE(n.conv_id, o.conv_id) AS conv_id,
+       COALESCE(n.turn_idx, o.turn_idx) AS turn_idx,
+       CASE WHEN n.conv_id IS NULL THEN o.role ELSE n.role END AS role,
+       CASE WHEN n.conv_id IS NULL THEN o.text ELSE n.text END AS text,
+       CASE WHEN n.conv_id IS NULL THEN o.ts ELSE n.ts END AS ts,
+       CASE WHEN n.conv_id IS NULL THEN o.part ELSE n.part END AS part,
+       CASE WHEN n.conv_id IS NULL THEN o.lsn ELSE n.lsn END AS lsn
+FROM new_state n FULL OUTER JOIN old_state o
+  ON n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx
+WHERE o.conv_id IS NULL OR n.conv_id IS NULL
+   OR n.lsn <> o.lsn OR n.ts <> o.ts
+"""
+
+
 # ---- portable SQL fragments for the text family ---------------------------
 _SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -471,6 +564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_final_state"] = _q_cdc_final_state
     q["cdc_table_truncate"] = _q_cdc_table_truncate
     q["cdc_schema_widen"] = _q_cdc_schema_widen
+    q["cdc_bootstrap"] = _q_cdc_bootstrap
+    q["cdc_table_changes"] = _q_cdc_table_changes
     q["cdc_multi_collection"] = _q_cdc_multi_collection
     q["cdc_namespace"] = _q_cdc_namespace
     q["cdc_maintenance"] = _q_cdc_maintenance
@@ -812,6 +907,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _ORACLE_FINAL_STATE,
         "cdc_table_truncate": _ORACLE_TABLE_TRUNCATE,
         "cdc_schema_widen": _ORACLE_SCHEMA_WIDEN,
+        # bootstrap(old-state) + tail(newer half) must equal the FULL
+        # replay — the handover proof, so the flagship oracle is reused
+        "cdc_bootstrap": _ORACLE_FINAL_STATE,
+        "cdc_table_changes": _ORACLE_TABLE_CHANGES,
         "cdc_multi_collection": _ORACLE_MULTI_COLLECTION,
         "cdc_namespace": _ORACLE_NAMESPACE,
         # maintenance must be logically invisible → same oracle as the

@@ -632,3 +632,85 @@ def read_metrics(spark: SparkSession, table: SnapshotTable) -> DataFrame:
     if not os.path.exists(path):
         return spark.createDataFrame([], S.METRICS_SCHEMA)
     return spark.read.schema(S.METRICS_SCHEMA).parquet(path).dropDuplicates(["epoch"])
+
+
+def bootstrap_table(
+    spark: SparkSession,
+    table: SnapshotTable,
+    snapshot_df: DataFrame,
+    *,
+    epoch: int = -1,
+    n_buckets: int = 16,
+    salt_partitions: int | None = None,
+) -> dict[str, Any]:
+    """Initial full load (snapshot phase) of an existing dataset; the
+    changelog tail then takes over seamlessly.
+
+    The classic CDC bootstrap (the reference replicates forward from a
+    position and expects pre-existing source data to be copied out of
+    band — server/cdc_impl.go:371-497 validates but never backfills; this
+    closes that gap). Each snapshot row becomes an INSERT event at its own
+    ``(ts, lsn)``, so the ordinary last-writer merge arbitrates
+    snapshot-vs-tail overlap with no special cases: a tail event newer
+    than the snapshot row wins, a stale duplicate loses, and a tail
+    DELETE tombstones the bootstrapped row.
+
+    Scale shape: ONE apply_batch over the whole snapshot — the same
+    dedup HashAggregate + bucket merge the tail uses, fully distributed,
+    nothing driver-side. Runs at reserved epoch −1 (streaming epochs
+    count up from 0), so a crashed bootstrap replays idempotently and
+    can never collide with a tail epoch.
+
+    Missing columns are defaulted JVM-side:
+    - ``ts`` → epoch 0 (always loses to real tail events),
+    - ``part`` → hash shard of conv_id (supply a real ``part`` if
+      DROP_PARTITION watermarks must line up with the source numbering),
+    - ``lsn`` → ``monotonically_increasing_id() − 2^62``: unique and far
+      below any real log offset, so the duplicate-lsn gate and the
+      decimal ord packing (|lsn| ≪ the 10^21 rank-digit spacing) stay
+      sound.
+    Snapshot columns beyond the base schema ride the dynamic-field bag,
+    exactly like post-ADD_COLUMN tail payloads.
+    """
+    cols = set(snapshot_df.columns)
+    if not {"conv_id", "turn_idx"} <= cols:
+        raise ValueError("bootstrap snapshot needs conv_id and turn_idx columns")
+    if not table.exists():
+        table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=n_buckets)
+    d = snapshot_df
+    if "ts" not in cols:
+        d = d.withColumn("ts", F.timestamp_seconds(F.lit(0)))
+    if "part" not in cols:
+        d = d.withColumn(
+            "part", F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int")
+        )
+    if "lsn" not in cols:
+        d = d.withColumn(
+            "lsn", F.monotonically_increasing_id() - F.lit(2**62)
+        )
+    base = {"conv_id", "turn_idx", "ts", "part", "lsn", "role", "text", "tool"}
+    extra_cols = sorted(c for c in cols if c not in base)
+    extra = (
+        F.create_map(
+            *[x for c in extra_cols for x in (F.lit(c), F.col(c).cast("string"))]
+        )
+        if extra_cols
+        else F.lit(None).cast("map<string,string>")
+    )
+    ev = d.select(
+        F.col("lsn").cast("bigint").alias("lsn"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("part").cast("int").alias("part"),
+        F.lit(S.OP_INSERT).alias("op"),
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        *[
+            (F.col(c) if c in cols else F.lit(None)).cast("string").alias(c)
+            for c in ("role", "text", "tool")
+        ],
+        F.lit(None).cast("string").alias("ddl_arg"),
+        extra.alias("extra"),
+    )
+    return apply_batch(
+        spark, table, ev, epoch, salt_partitions=salt_partitions
+    )

@@ -1,15 +1,16 @@
 """Task CLI — create / drain / tail / status / pause / resume / delete /
-list / position / compact / vacuum, packaged for spark-submit.
+list / position / compact / vacuum / bootstrap, packaged for spark-submit.
 
 The analogue of the reference's HTTP task API — all eight task verbs
 (create/delete/pause/resume/get/getPosition/list/maintenance,
 /root/reference/server/cdc_api.go:26-36, handlers
 server/handle_map.go:35-133) as driver-side commands:
 
-    spark-submit --py-files milvus_cdc_spark.zip -m milvus_cdc_spark.streaming.cli \
+    spark-submit --py-files milvus_cdc_spark.zip scripts/submit_drain.py \
         drain --log /data/changelog --table /lake/transcripts --checkpoint /ckpt/t1
 
-(locally: ``python -m milvus_cdc_spark.streaming.cli ...``)
+(locally: ``python -m milvus_cdc_spark.streaming.cli ...``; spark-submit
+has no ``-m`` module mode, hence the wrapper script)
 
 Multi-collection tasks (the reference's N-collection task model,
 server/cdc_impl.go:1195-1208) use ``--tables-root`` with optional
@@ -99,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
         "command",
         choices=[
             "create", "drain", "status", "tail", "pause", "resume",
-            "delete", "list", "position", "compact", "vacuum",
+            "delete", "list", "position", "compact", "vacuum", "bootstrap",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -122,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-failures", type=int, default=3,
                    help="fail-protect: failures per window before Paused")
     p.add_argument("--fail-window-sec", type=float, default=60.0)
+    p.add_argument("--snapshot", help="bootstrap: parquet dir of the initial full load")
     a = p.parse_args(argv)
 
     # ---- registry / filesystem commands (no Spark session) --------------
@@ -154,6 +156,33 @@ def main(argv: list[str] | None = None) -> int:
 
     from milvus_cdc_spark.session import get_spark
     from milvus_cdc_spark.streaming.engine import FailProtect
+
+    if a.command == "bootstrap":
+        # initial full load of the task's target table (snapshot phase —
+        # apply.bootstrap_table); the tail then takes over from its
+        # checkpoint with the ordinary drain/resume verbs
+        if not a.snapshot:
+            p.error("'bootstrap' needs --snapshot")
+        table_root = a.table
+        if not table_root and a.name and a.tasks_dir:
+            table_root = TaskRegistry(a.tasks_dir).get(a.name).get("table")
+        if not table_root:
+            p.error("'bootstrap' needs --table or --name + --tasks-dir")
+        from milvus_cdc_spark.operators.apply import bootstrap_table
+        from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+        spark = get_spark("milvus_cdc_spark_cli", master=a.master)
+        res = bootstrap_table(
+            spark,
+            SnapshotTable(table_root),
+            spark.read.parquet(a.snapshot),
+            n_buckets=a.n_buckets,
+            salt_partitions=a.salt,
+        )
+        keep = ("epoch", "skipped", "n_events", "n_keys_live_in_touched",
+                "snapshot_id")
+        print(json.dumps({k: v for k, v in res.items() if k in keep}))
+        return 0
 
     if a.command == "create" and a.name and a.tasks_dir:
         if not (a.log and a.checkpoint and (a.table or a.tables_root)):
