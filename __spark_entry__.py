@@ -415,6 +415,37 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
 
 
+def _q_cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for the merge-on-read write mode (Iceberg v2 MOR
+    analogue, operators/apply.py::_append_delta +
+    plans/manifest.py::resolve_last_writer_stored): the flagship 3-epoch
+    replay against a ``write_mode="mor"`` table — epochs append deduped
+    delta files (write cost O(batch), the 100 TB answer to CoW write
+    amplification measured in BASELINE.md), a mid-stream compaction folds
+    the first two epochs' deltas (and must be logically invisible), and
+    the read resolves last-writer per key. Same oracle as the CoW
+    flagship: both modes must converge to the identical final state."""
+    log = _derive_changelog(spark, sf_dir)
+    root = _probe_table_root(sf_dir, "mor_final_state")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(
+        S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True,
+        write_mode="mor",
+    )
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    step = hi // 3 + 1
+    for i in range(3):
+        batch = log.filter(
+            (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+        )
+        apply_batch(spark, table, batch, epoch=i)
+        if i == 1:
+            table.compact(spark)
+    return table.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn"
+    )
+
+
 def _q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for the snapshot-bootstrap path (initial full load →
     changelog-tail handover, operators/apply.py::bootstrap_table; the
@@ -566,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_schema_widen"] = _q_cdc_schema_widen
     q["cdc_bootstrap"] = _q_cdc_bootstrap
     q["cdc_table_changes"] = _q_cdc_table_changes
+    q["cdc_mor_final_state"] = _q_cdc_mor_final_state
     q["cdc_multi_collection"] = _q_cdc_multi_collection
     q["cdc_namespace"] = _q_cdc_namespace
     q["cdc_maintenance"] = _q_cdc_maintenance
@@ -911,6 +943,9 @@ def oracle_sql() -> dict[str, str]:
         # replay — the handover proof, so the flagship oracle is reused
         "cdc_bootstrap": _ORACLE_FINAL_STATE,
         "cdc_table_changes": _ORACLE_TABLE_CHANGES,
+        # merge-on-read must converge to the identical final state as the
+        # CoW flagship — one oracle pins both write modes
+        "cdc_mor_final_state": _ORACLE_FINAL_STATE,
         "cdc_multi_collection": _ORACLE_MULTI_COLLECTION,
         "cdc_namespace": _ORACLE_NAMESPACE,
         # maintenance must be logically invisible → same oracle as the

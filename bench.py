@@ -103,6 +103,23 @@ def main() -> None:
     apply_sec = min(apply_reps)
     n_epochs = len(task.table.current().epochs)
     final_rows = task.table.read(spark).count()
+
+    # merge-on-read twin over the SAME log (single rep: mode-vs-mode is
+    # the comparison of interest; run-to-run variance evidence lives in
+    # the cow reps above). Final row count must match cow exactly — the
+    # cross-mode convergence anchor at bench scale.
+    t0 = time.time()
+    mtask = run_until_drained(
+        spark,
+        log_dir,
+        os.path.join(work, "table_mor"),
+        os.path.join(work, "ckpt_mor"),
+        max_files_per_trigger=8,
+        n_buckets=16,
+        write_mode="mor",
+    )
+    mor_sec = time.time() - t0
+    mor_rows = mtask.table.read(spark).count()
     shutil.rmtree(work, ignore_errors=True)
 
     # ---- representative queries (best of 2 for the same reason) ----------
@@ -134,6 +151,9 @@ def main() -> None:
                     "events_per_sec": round(n_events / apply_sec, 1),
                     "n_epochs": n_epochs,
                     "final_rows": final_rows,
+                    "mor_apply_sec": round(mor_sec, 3),
+                    "mor_events_per_sec": round(n_events / mor_sec, 1),
+                    "mor_final_rows_match": mor_rows == final_rows,
                     "cpus": cpus,
                 },
             }

@@ -66,9 +66,13 @@ def _rank_col(op_col):
 # max(decimal(38,0)) keeps the dedup in whole-stage-codegen hash
 # aggregation with map-side partial merge. Bounds: ts_us ≤ 1.7e15 (year
 # 2128) → 1.7e37 < 9.9e37 dec38 max; lsn < 10^21 (10^10-event logs fit
-# with 10^11 headroom); rank ∈ {0,1,2}.
-_ORD_TS_FACTOR = "10000000000000000000000BD"  # 10^22
-_ORD_RANK_FACTOR = "1000000000000000000000BD"  # 10^21
+# with 10^11 headroom); rank ∈ {0,1,2}. The factors live in
+# plans/manifest.py (single source of truth — merge-on-read resolution
+# uses the identical packing over stored rows).
+from milvus_cdc_spark.plans.manifest import (  # noqa: E402
+    ORD_RANK_FACTOR as _ORD_RANK_FACTOR,
+    ORD_TS_FACTOR as _ORD_TS_FACTOR,
+)
 
 
 def _ord_col(op_col):
@@ -299,6 +303,75 @@ def merge_actions(
     )
 
 
+def _append_delta(
+    spark: SparkSession,
+    table: SnapshotTable,
+    m: Manifest,
+    actions: DataFrame,
+    adds: list[tuple[str, str]],
+    touched: list[int],
+    epoch: int,
+):
+    """Merge-on-read epoch write: deduped actions → delta parquet appended
+    to each touched bucket's file list (never rewriting existing files).
+
+    Same write-parallelism shape as the CoW merge: the repartition key
+    carries a conv-derived salt past the bucket count so every core gets
+    a writer task, while partitionBy still emits whole-bucket files.
+    Returns (n_live_actions, max_ts, appended_files_per_bucket)."""
+    physical_cols = [c for c, _ in m.columns]
+    out_dir_rel = os.path.join("data", f"e{epoch}")
+    out_dir = os.path.join(table.root, out_dir_rel)
+    ordered_cols = physical_cols + [
+        c for c, _ in adds if c not in physical_cols
+    ] + ["alive", "extra"]
+    delta = actions.withColumn("alive", F.col("op") != F.lit(S.OP_DELETE))
+    nb = m.n_buckets
+    cores = spark.sparkContext.defaultParallelism
+    write_factor = max(1, min(8, (2 * cores) // max(1, len(touched))))
+    import uuid
+
+    from pyspark.sql import Observation
+
+    obs = Observation(f"delta_e{epoch}_{uuid.uuid4().hex[:8]}")
+    (
+        delta.withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
+        )
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64("conv_id", F.lit(7)), F.lit(write_factor))
+        )
+        .repartition(len(touched) * write_factor, "bucket", "_salt")
+        .select(*ordered_cols, "bucket")
+        .observe(
+            obs,
+            F.sum(F.col("alive").cast("long")).alias("k"),
+            F.max("ts").alias("mt"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    stats = obs.get
+    appended: dict[int, list[str]] = {}
+    for b in touched:
+        bdir = os.path.join(out_dir, f"bucket={b}")
+        new_rels = (
+            [
+                os.path.join(out_dir_rel, f"bucket={b}", f)
+                for f in sorted(os.listdir(bdir))
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(bdir)
+            else []
+        )
+        # append to the snapshot's existing list — commit replaces the
+        # bucket's file list wholesale, so carrying the old files forward
+        # here IS the append (single-writer protocol makes this safe)
+        appended[b] = m.files.get(str(b), []) + new_rels
+    return stats["k"] or 0, stats["mt"], appended
+
+
 def apply_batch(
     spark: SparkSession,
     table: SnapshotTable,
@@ -452,7 +525,25 @@ def apply_batch(
     replaced: dict[int, list[str]] = {}
     n_keys = 0
     max_ts = None
-    if touched:
+    if touched and m.write_mode == "mor":
+        # ---- merge-on-read epoch: APPEND the deduped actions as delta
+        # files — no target read, no merge join, write cost O(batch)
+        # regardless of table size (the CoW path's write amplification is
+        # O(live rows in touched buckets) per epoch, which at uniform key
+        # spread means rewriting the whole accumulated table every epoch;
+        # measured: 200M-event CoW drain decays to 489k ev/s while MOR
+        # holds flat — BASELINE.md). Reads resolve last-writer per key
+        # (manifest.resolve_last_writer_stored) until compaction folds the
+        # deltas; DELETE actions append as alive=false tombstones so they
+        # defeat older stored rows at resolution exactly like the CoW
+        # merge comparison. Iceberg v2 MOR analogue (delete files +
+        # rewrite_data_files); the reference's writer likewise appends to
+        # the target log and lets Milvus resolve (channel_writer.go).
+        n_keys, max_ts, replaced = _append_delta(
+            spark, table, m, actions, adds, touched, epoch
+        )
+        tp = _mark("merge_write", tp)
+    elif touched:
         target = table.read(spark, manifest=m, buckets=touched, logical=False)
         if new_drops or new_truncate:
             # historical watermarks were already applied inside read();
@@ -642,6 +733,7 @@ def bootstrap_table(
     epoch: int = -1,
     n_buckets: int = 16,
     salt_partitions: int | None = None,
+    write_mode: str = "cow",
 ) -> dict[str, Any]:
     """Initial full load (snapshot phase) of an existing dataset; the
     changelog tail then takes over seamlessly.
@@ -676,7 +768,10 @@ def bootstrap_table(
     if not {"conv_id", "turn_idx"} <= cols:
         raise ValueError("bootstrap snapshot needs conv_id and turn_idx columns")
     if not table.exists():
-        table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=n_buckets)
+        table.create(
+            S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=n_buckets,
+            write_mode=write_mode,
+        )
     d = snapshot_df
     if "ts" not in cols:
         d = d.withColumn("ts", F.timestamp_seconds(F.lit(0)))

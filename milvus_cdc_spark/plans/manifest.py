@@ -95,6 +95,50 @@ def is_widening(cur: str, new: str) -> bool:
     return False
 
 
+# The engine's total order (ts, rank, lsn) packed into one decimal(38,0)
+# so last-writer reduction stays a whole-stage-codegen HashAggregate —
+# the single source of truth for the packing; operators/apply.py imports
+# these factors for the changelog (op-ranked) variant. Bounds documented
+# at apply._ord_col.
+ORD_TS_FACTOR = "10000000000000000000000BD"  # 10^22
+ORD_RANK_FACTOR = "1000000000000000000000BD"  # 10^21
+
+
+def stored_ord_col():
+    """Ordering scalar for STORED rows, where rank derives from the alive
+    flag (tombstone = DELETE rank 0) instead of the changelog op — the
+    exact mirror of apply._ord_col, so merge-on-read resolution agrees
+    with write-time merge decisions bit-for-bit."""
+    rank = (
+        F.when(F.coalesce(F.col("alive"), F.lit(True)), F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return (
+        F.unix_micros(F.col("ts")).cast("decimal(38,0)") * F.expr(ORD_TS_FACTOR)
+        + rank.cast("decimal(38,0)") * F.expr(ORD_RANK_FACTOR)
+        + F.col("lsn").cast("decimal(38,0)")
+    )
+
+
+def resolve_last_writer_stored(df: DataFrame) -> DataFrame:
+    """Merge-on-read resolution: one winner per (conv_id, turn_idx) by
+    max (ts, rank, lsn) over multi-version stored rows.
+
+    Same skew-proof two-phase shape as the write-side dedup
+    (operators/apply.py::dedup_last_writer): a fixed-width decimal
+    HashAggregate with map-side partial merge, then winner recovery by a
+    SHUFFLE_HASH join on (key, ord) — ord embeds lsn, so even a
+    conversation that dominates the table hashes uniformly across
+    reducers. lsn uniqueness (the WAL-offset contract apply_batch
+    enforces per epoch) guarantees exactly one winner per key."""
+    keyed = df.withColumn("_ord", stored_ord_col())
+    w = keyed.groupBy("conv_id", "turn_idx").agg(F.max("_ord").alias("_ord"))
+    return keyed.join(
+        w.hint("shuffle_hash"), on=["conv_id", "turn_idx", "_ord"]
+    ).drop("_ord")
+
+
 def _ts_to_str(v) -> str:
     return v.isoformat(sep=" ")
 
@@ -136,6 +180,13 @@ class Manifest:
     # applied — and cleared — by the commit that finally adds the column.
     # Default keeps pre-widen manifests parsing.
     pending_widens: dict[str, str] = field(default_factory=dict)
+    # "cow" (default): every epoch MERGEs touched buckets copy-on-write —
+    # reads are resolution-free, writes rewrite O(live rows in touched
+    # buckets). "mor" (Iceberg v2 merge-on-read analogue): every epoch
+    # APPENDS its deduped actions as delta files — writes are O(batch),
+    # reads resolve last-writer per key until compaction folds the
+    # deltas. Fixed at create; default keeps pre-MOR manifests parsing.
+    write_mode: str = "cow"
 
     def physical_schema(self) -> T.StructType:
         # System columns: `alive` — False rows are delete tombstones kept so
@@ -177,8 +228,14 @@ class SnapshotTable:
         return os.path.exists(os.path.join(self.meta_dir, "CURRENT"))
 
     def create(
-        self, columns: list[tuple[str, str]], n_buckets: int = 16, overwrite: bool = False
+        self,
+        columns: list[tuple[str, str]],
+        n_buckets: int = 16,
+        overwrite: bool = False,
+        write_mode: str = "cow",
     ) -> Manifest:
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         if self.exists():
             if not overwrite:
                 # idempotent create (reference skip-if-exists,
@@ -197,6 +254,7 @@ class SnapshotTable:
             files={},
             epochs={},
             summary={},
+            write_mode=write_mode,
         )
         self._write_manifest(m)
         return m
@@ -297,11 +355,19 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         apply_drops: bool = True,
         logical: bool = True,
+        resolve: bool = True,
     ) -> DataFrame:
         """Scan the table at a snapshot with logical schema.
 
         ``buckets`` restricts the scan to a file subset (manifest-level
         pruning — the analogue of Iceberg partition pruning in a MERGE).
+
+        On a merge-on-read table (``write_mode="mor"``) multi-version rows
+        are resolved to one winner per key (``resolve=False`` opts out for
+        callers that want the raw delta history). Fast path: a bucket
+        whose file list has a single file holds at most one version per
+        key (per-epoch dedup + compaction both guarantee it), so
+        resolution is skipped when every selected bucket is single-file.
         """
         m = manifest or self.current()
         keys = [str(b) for b in buckets] if buckets is not None else list(m.files)
@@ -316,6 +382,12 @@ class SnapshotTable:
             df = spark.read.schema(schema).parquet(*paths)
         if apply_drops and (m.drop_watermarks or m.truncate_watermark):
             df = df.filter(~self.drop_predicate(m))
+        if (
+            resolve
+            and m.write_mode == "mor"
+            and any(len(m.files.get(k, [])) > 1 for k in keys)
+        ):
+            df = resolve_last_writer_stored(df)
         if not logical:
             return df
         # logical view: live rows only; added columns recover pre-DDL values
@@ -533,6 +605,7 @@ class SnapshotTable:
             summary=summary,
             truncate_watermark=trunc,
             pending_widens=pending,
+            write_mode=m.write_mode,
         )
         self._write_manifest(nm)
         return nm
@@ -607,6 +680,7 @@ class SnapshotTable:
             summary={**m.summary, "last_compaction_version": m.version},
             truncate_watermark=None if clear_drop_watermarks else m.truncate_watermark,
             pending_widens=dict(m.pending_widens),
+            write_mode=m.write_mode,
         )
         with self.commit_lease():
             cur_v = self._current_version()

@@ -80,6 +80,7 @@ def _build_task(spark, spec, a):
         ),
         salt_partitions=spec.get("salt_partitions", a.salt),
         n_buckets=spec.get("n_buckets", a.n_buckets),
+        write_mode=spec.get("write_mode", a.write_mode),
     )
     if spec.get("tables_root"):
         return MultiCdcTask(
@@ -124,6 +125,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="fail-protect: failures per window before Paused")
     p.add_argument("--fail-window-sec", type=float, default=60.0)
     p.add_argument("--snapshot", help="bootstrap: parquet dir of the initial full load")
+    p.add_argument("--write-mode", choices=["cow", "mor"], default="cow",
+                   help="table write mode at create: copy-on-write MERGE "
+                        "(resolution-free reads) or merge-on-read deltas "
+                        "(O(batch) epoch writes; compact folds)")
     a = p.parse_args(argv)
 
     # ---- registry / filesystem commands (no Spark session) --------------
@@ -178,6 +183,7 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(a.snapshot),
             n_buckets=a.n_buckets,
             salt_partitions=a.salt,
+            write_mode=a.write_mode,
         )
         keep = ("epoch", "skipped", "n_events", "n_keys_live_in_touched",
                 "snapshot_id")
@@ -191,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
             "log": a.log, "checkpoint": a.checkpoint,
             "max_files_per_trigger": a.max_files_per_trigger,
             "salt_partitions": a.salt, "n_buckets": a.n_buckets,
+            "write_mode": a.write_mode,
         }
         if a.table:
             spec_fields["table"] = a.table

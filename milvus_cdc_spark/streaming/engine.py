@@ -200,12 +200,16 @@ class CdcTask(_TaskLifecycle):
         max_files_per_trigger: int | None = 4,
         salt_partitions: int | None = None,
         n_buckets: int = 16,
+        write_mode: str = "cow",
     ):
         self.spark = spark
         self.changelog_path = changelog_path
         self.table = SnapshotTable(table_root)
         if not self.table.exists():
-            self.table.create(TRANSCRIPTS_BASE_COLUMNS, n_buckets=n_buckets)
+            self.table.create(
+                TRANSCRIPTS_BASE_COLUMNS, n_buckets=n_buckets,
+                write_mode=write_mode,
+            )
         self.max_files_per_trigger = max_files_per_trigger
         self.salt_partitions = salt_partitions
         self._init_lifecycle(checkpoint_dir)
@@ -369,6 +373,7 @@ class MultiCdcTask(_TaskLifecycle):
         salt_partitions: int | None = None,
         n_buckets: int = 16,
         max_concurrency: int = 8,
+        write_mode: str = "cow",
     ):
         self.spark = spark
         self.changelog_path = changelog_path
@@ -377,6 +382,7 @@ class MultiCdcTask(_TaskLifecycle):
         self.max_files_per_trigger = max_files_per_trigger
         self.salt_partitions = salt_partitions
         self.n_buckets = n_buckets
+        self.write_mode = write_mode
         self.max_concurrency = max_concurrency
         self.tables: dict[str, SnapshotTable] = {}
         self._init_lifecycle(checkpoint_dir)
@@ -400,7 +406,10 @@ class MultiCdcTask(_TaskLifecycle):
         if t is None:
             t = SnapshotTable(self._table_path(name))
             if not t.exists():
-                t.create(TRANSCRIPTS_BASE_COLUMNS, n_buckets=self.n_buckets)
+                t.create(
+                    TRANSCRIPTS_BASE_COLUMNS, n_buckets=self.n_buckets,
+                    write_mode=self.write_mode,
+                )
             self.tables[name] = t
         return t
 

@@ -33,7 +33,8 @@ sys.path.insert(0, REPO)
 WARMUP_EVENTS = 1_000_000
 
 
-def _drain_main(cpus: int, work: str, files_per_trigger: int, n_buckets: int) -> None:
+def _drain_main(cpus: int, work: str, files_per_trigger: int, n_buckets: int,
+                write_mode: str = "cow") -> None:
     from milvus_cdc_spark.session import _mem_avail_gb, get_spark
     from milvus_cdc_spark.streaming.engine import run_until_drained
 
@@ -67,6 +68,7 @@ def _drain_main(cpus: int, work: str, files_per_trigger: int, n_buckets: int) ->
         os.path.join(work, "ckpt"),
         max_files_per_trigger=files_per_trigger,
         n_buckets=n_buckets,
+        write_mode=write_mode,
     )
     sec = time.time() - t0
     rows = task.table.read(spark).count()
@@ -81,12 +83,13 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--files-per-trigger", type=int, default=16)
     ap.add_argument("--n-buckets", type=int, default=32)
-    ap.add_argument("--_drain", nargs=4,
-                    metavar=("CPUS", "WORK", "FPT", "NB"))
+    ap.add_argument("--write-mode", choices=["cow", "mor"], default="cow")
+    ap.add_argument("--_drain", nargs=5,
+                    metavar=("CPUS", "WORK", "FPT", "NB", "MODE"))
     args = ap.parse_args()
     if args._drain:
-        c, w, f, b = args._drain
-        _drain_main(int(c), w, int(f), int(b))
+        c, w, f, b, mode = args._drain
+        _drain_main(int(c), w, int(f), int(b), mode)
         return
 
     base = os.environ.get("SCALING_WORK_DIR", "/dev/shm")
@@ -114,7 +117,7 @@ def main() -> None:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--_drain",
              str(args.cpus), work, str(args.files_per_trigger),
-             str(args.n_buckets)],
+             str(args.n_buckets), args.write_mode],
             capture_output=True, text=True, timeout=5400,
         )
         out = None
@@ -138,8 +141,10 @@ def main() -> None:
             "epochs": out["epochs"],
             "files_per_trigger": args.files_per_trigger,
             "n_buckets": args.n_buckets,
+            "write_mode": args.write_mode,
         }
-        path = os.path.join(REPO, f"SUSTAINED_{args.events}.json")
+        suffix = "" if args.write_mode == "cow" else f"_{args.write_mode}"
+        path = os.path.join(REPO, f"SUSTAINED_{args.events}{suffix}.json")
         with open(path, "w") as f:
             json.dump(result, f, indent=2)
         print(json.dumps(result))
