@@ -81,6 +81,7 @@ def _build_task(spark, spec, a):
         salt_partitions=spec.get("salt_partitions", a.salt),
         n_buckets=spec.get("n_buckets", a.n_buckets),
         write_mode=spec.get("write_mode", a.write_mode),
+        auto_compact_files=spec.get("auto_compact_files", a.auto_compact_files),
     )
     if spec.get("tables_root"):
         return MultiCdcTask(
@@ -129,6 +130,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="table write mode at create: copy-on-write MERGE "
                         "(resolution-free reads) or merge-on-read deltas "
                         "(O(batch) epoch writes; compact folds)")
+    p.add_argument("--auto-compact-files", type=int, default=None,
+                   help="compact a table at the next epoch boundary once "
+                        "any bucket exceeds this many files (MOR "
+                        "housekeeping)")
     a = p.parse_args(argv)
 
     # ---- registry / filesystem commands (no Spark session) --------------
@@ -198,6 +203,7 @@ def main(argv: list[str] | None = None) -> int:
             "max_files_per_trigger": a.max_files_per_trigger,
             "salt_partitions": a.salt, "n_buckets": a.n_buckets,
             "write_mode": a.write_mode,
+            "auto_compact_files": a.auto_compact_files,
         }
         if a.table:
             spec_fields["table"] = a.table

@@ -76,10 +76,24 @@ class _TaskLifecycle:
 
     query = None
     last_error: str | None = None
+    auto_compact_files: int | None = None
 
     def _init_lifecycle(self, checkpoint_dir: str) -> None:
         self.checkpoint_dir = checkpoint_dir
         self._status_path = os.path.join(checkpoint_dir, "task_status.json")
+
+    def _maybe_compact(self, table) -> None:
+        """Merge-on-read housekeeping at an epoch boundary: fold a table's
+        delta chain once any bucket exceeds ``auto_compact_files`` files,
+        bounding read-side resolution cost (Iceberg rewrite_data_files on
+        a file-count trigger; the reference leans on Milvus target-side
+        auto-compaction). Runs between epochs under the same single-writer
+        lease the commits use; logically invisible (test_maintenance)."""
+        if not self.auto_compact_files:
+            return
+        m = table.current()
+        if any(len(v) > self.auto_compact_files for v in m.files.values()):
+            table.compact(self.spark)
 
     def start(self, available_now: bool = False):  # pragma: no cover - abstract
         raise NotImplementedError
@@ -201,6 +215,7 @@ class CdcTask(_TaskLifecycle):
         salt_partitions: int | None = None,
         n_buckets: int = 16,
         write_mode: str = "cow",
+        auto_compact_files: int | None = None,
     ):
         self.spark = spark
         self.changelog_path = changelog_path
@@ -212,6 +227,12 @@ class CdcTask(_TaskLifecycle):
             )
         self.max_files_per_trigger = max_files_per_trigger
         self.salt_partitions = salt_partitions
+        # merge-on-read housekeeping: compact at the NEXT epoch boundary
+        # once any bucket's delta chain exceeds this many files, bounding
+        # read-side resolution cost without blocking the hot path mid-epoch
+        # (the reference relies on Milvus auto-compaction target-side; in
+        # Iceberg terms this is rewrite_data_files on a file-count trigger)
+        self.auto_compact_files = auto_compact_files
         self._init_lifecycle(checkpoint_dir)
 
     # -- lifecycle (reference C1-C4, server/cdc_api.go:26-36) -------------
@@ -233,6 +254,7 @@ class CdcTask(_TaskLifecycle):
                 epoch_id,
                 salt_partitions=self.salt_partitions,
             )
+            self._maybe_compact(self.table)
 
         stream = read_changelog_stream(
             self.spark, self.changelog_path, self.max_files_per_trigger
@@ -374,6 +396,7 @@ class MultiCdcTask(_TaskLifecycle):
         n_buckets: int = 16,
         max_concurrency: int = 8,
         write_mode: str = "cow",
+        auto_compact_files: int | None = None,
     ):
         self.spark = spark
         self.changelog_path = changelog_path
@@ -383,6 +406,7 @@ class MultiCdcTask(_TaskLifecycle):
         self.salt_partitions = salt_partitions
         self.n_buckets = n_buckets
         self.write_mode = write_mode
+        self.auto_compact_files = auto_compact_files
         self.max_concurrency = max_concurrency
         self.tables: dict[str, SnapshotTable] = {}
         self._init_lifecycle(checkpoint_dir)
@@ -553,13 +577,15 @@ class MultiCdcTask(_TaskLifecycle):
                 wm = self._ns_watermark(name.split(".", 1)[0])
                 if wm is not None:
                     df = df.unionByName(self._truncate_row(*wm))
-            return apply_batch(
+            res = apply_batch(
                 self.spark,
                 tables[name],
                 df,
                 epoch_id,
                 salt_partitions=self.salt_partitions,
             )
+            self._maybe_compact(tables[name])
+            return res
 
         if len(ordered) <= 1:
             for name in ordered:

@@ -154,3 +154,32 @@ def test_mor_single_file_fast_path_skips_resolution(spark, tmp_path):
     assert all(len(v) == 1 for v in t.current().files.values())
     plan = t.read(spark)._jdf.queryExecution().optimizedPlan().toString()
     assert "Aggregate" not in plan and "Join" not in plan
+
+
+def test_mor_auto_compact_during_drain(spark, changelog, expected, tmp_path):
+    # streaming drain with auto_compact_files=2: the task folds delta
+    # chains at epoch boundaries, so the final manifest stays bounded and
+    # the state still matches the sequential oracle
+    from milvus_cdc_spark.streaming.engine import run_until_drained
+
+    task = run_until_drained(
+        spark,
+        changelog,
+        str(tmp_path / "transcripts"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # one epoch per log file → 6 epochs
+        n_buckets=4,
+        write_mode="mor",
+        auto_compact_files=2,
+    )
+    m = task.table.current()
+    assert m.write_mode == "mor"
+    # compaction really triggered (manifest records it) and bounded the
+    # per-bucket chains: ≤ threshold + 1 delta appended since the last fold
+    assert "last_compaction_version" in m.summary
+    assert all(len(v) <= 3 for v in m.files.values()), {
+        k: len(v) for k, v in m.files.items()
+    }
+    got, cols = _state(spark, task.table)
+    exp = sorted(tuple(r[c] for c in cols) for r in expected)
+    assert got == exp
