@@ -57,10 +57,11 @@ def _gen(spark, n_events: int, out_dir: str, n_files: int) -> None:
     )
 
 
-def drain_subprocess(cpus: int, work: str, tag: str) -> dict:
+def drain_subprocess(cpus: int, work: str, tag: str, write_mode: str = "cow") -> dict:
     """Run one warmup+measured drain in a fresh JVM/process."""
     r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--_drain", str(cpus), work, tag],
+        [sys.executable, os.path.abspath(__file__), "--_drain", str(cpus), work, tag,
+         write_mode],
         capture_output=True,
         text=True,
         timeout=1800,
@@ -73,7 +74,7 @@ def drain_subprocess(cpus: int, work: str, tag: str) -> dict:
     )
 
 
-def _drain_main(cpus: int, work: str, tag: str) -> None:
+def _drain_main(cpus: int, work: str, tag: str, write_mode: str = "cow") -> None:
     # explicit heap opts in to Xms/AlwaysPreTouch (see session.py)
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     from milvus_cdc_spark.session import get_spark
@@ -138,6 +139,7 @@ def _drain_main(cpus: int, work: str, tag: str) -> None:
         os.path.join(work, f"ckpt_{tag}"),
         max_files_per_trigger=8,
         n_buckets=16,
+        write_mode=write_mode,
     )
     sec = time.time() - t0
     u1, s1 = _jvm_cpu()
@@ -161,11 +163,13 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=32)
-    ap.add_argument("--_drain", nargs=3, metavar=("CPUS", "WORK", "TAG"))
+    ap.add_argument("--write-mode", choices=["cow", "mor"], default="cow")
+    ap.add_argument("--_drain", nargs=4, metavar=("CPUS", "WORK", "TAG", "MODE"))
     args = ap.parse_args()
 
     if args._drain:
-        _drain_main(int(args._drain[0]), args._drain[1], args._drain[2])
+        _drain_main(int(args._drain[0]), args._drain[1], args._drain[2],
+                    args._drain[3])
         return
 
     base = os.environ.get(
@@ -188,7 +192,8 @@ def main() -> None:
     try:
         for rep in range(args.reps):
             for cpus in (args.lo, args.hi):
-                r = drain_subprocess(cpus, work, f"{cpus}c_r{rep}")
+                r = drain_subprocess(cpus, work, f"{cpus}c_r{rep}",
+                                     args.write_mode)
                 r.update({"cpus": cpus, "rep": rep})
                 runs.append(r)
                 best = results.get(cpus)
@@ -227,12 +232,14 @@ def main() -> None:
         "core_ratio": args.hi // args.lo,
         "final_rows": hi["rows"],
         "identical_final_state": True,
+        "write_mode": args.write_mode,
         "runs": runs,
     }
     print(json.dumps(out))
     # pair-specific artifact; SCALING.json (the combined headline) is
     # maintained by hand from these
-    with open(os.path.join(REPO, f"SCALING_{args.lo}x{args.hi}.json"), "w") as f:
+    suffix = "" if args.write_mode == "cow" else f"_{args.write_mode}"
+    with open(os.path.join(REPO, f"SCALING_{args.lo}x{args.hi}{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
 
 

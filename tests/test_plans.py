@@ -140,3 +140,29 @@ def test_merge_join_output_is_write_partitioned(spark, tmp_path):
 def test_session_has_aqe_and_arrow(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+
+
+def test_mor_resolution_is_hash_aggregate_shuffled_hash(spark, tmp_path):
+    # merge-on-read read-side resolution must keep the same plan shape as
+    # the write-side dedup: fixed-width decimal HashAggregate (no
+    # SortAggregate cliff) + SHUFFLE_HASH winner recovery (no SMJ sort of
+    # wide stored rows)
+    from datetime import datetime
+
+    t = SnapshotTable(str(tmp_path / "transcripts"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=2, write_mode="mor")
+    for e in range(2):  # two delta files per bucket → resolution kicks in
+        apply_batch(spark, t, spark.createDataFrame(
+            [(e * 10 + 1, datetime(2024, 1, 1, 0, 0, e), 0, "INSERT",
+              "c1", 1, "user", f"v{e}", None, None, None)],
+            S.CHANGELOG_SCHEMA,
+        ), e)
+    assert any(len(v) > 1 for v in t.current().files.values())
+    plan = _plan(t.read(spark))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan, (
+        "MOR resolution fell back to SortAggregate — stored_ord_col must "
+        "stay a fixed-width decimal (plans/manifest.py)"
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
