@@ -809,6 +809,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_quality_score"] = doc_quality_score
 
+    def doc_chunk(spark, sf):
+        # pretokenization chunking (functions/text.py::chunks): 64-token
+        # windows, stride 48 — explode to one row per (doc, chunk)
+        return (
+            _t(spark, sf, "documents")
+            .select("doc_id", F.explode(TXT.chunks(F.col("text"))).alias("c"))
+            .select(
+                "doc_id",
+                F.col("c.chunk_idx").alias("chunk_idx"),
+                F.col("c.chunk_text").alias("chunk_text"),
+                F.col("c.n_tokens").alias("n_tokens"),
+            )
+        )
+    q["doc_chunk"] = doc_chunk
+
+    def doc_sample_stratified(spark, sf):
+        # deterministic stratified sampling by language: md5-hash bucket
+        # per doc (portable to the DuckDB oracle), per-stratum keep rates
+        # in permille — the shuffle-free corpus downsampler (each row
+        # decides its own fate; no global count, no window)
+        d = _t(spark, sf, "documents")
+        rate = (
+            F.when(F.col("lang") == "en", F.lit(500))
+            .when(F.col("lang") == "de", F.lit(800))
+            .otherwise(F.lit(200))
+        )
+        bucket = F.pmod(
+            TXT.portable_hash64(
+                F.concat(F.col("doc_id").cast("string"), F.lit("#sample"))
+            ),
+            F.lit(1000),
+        )
+        return d.filter(bucket < rate).select("doc_id", "lang", "source")
+    q["doc_sample_stratified"] = doc_sample_stratified
+
     def doc_ngram_jaccard(spark, sf):
         return DD.shingle_jaccard_pairs(
             _t(spark, sf, "documents"), threshold_milli=100, k=2
@@ -1066,6 +1101,29 @@ def oracle_sql() -> dict[str, str]:
               - (length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g'))) * 5
               AS score_milli
             FROM t""",
+        # chunk i covers tokens [i*48, i*48+64); last chunk is the short
+        # remainder; empty docs emit nothing — the exact arithmetic of
+        # functions/text.py::chunks
+        "doc_chunk": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+            c AS (SELECT doc_id, toks, n,
+                         unnest(range(0, CASE WHEN n > 64
+                             THEN CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1
+                             ELSE 1 END)) AS chunk_idx
+                  FROM n)
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   array_to_string(
+                       list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64),
+                       ' ') AS chunk_text,
+                   CAST(LEAST(64, n - chunk_idx*48) AS INT) AS n_tokens
+            FROM c""",
+        "doc_sample_stratified": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sample'),
+                                  1, 15))::BIGINT % 1000
+                  < CASE WHEN lang = 'en' THEN 500
+                         WHEN lang = 'de' THEN 800 ELSE 200 END""",
         "doc_ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
             s AS (SELECT doc_id,

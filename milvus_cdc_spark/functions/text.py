@@ -40,6 +40,42 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
+def chunks(c: Column, window: int = 64, stride: int = 48) -> Column:
+    """Fixed token-window chunking with overlap — the pretokenization
+    split every training pipeline runs before packing sequences.
+
+    Returns ``array<struct<chunk_idx:int, chunk_text:string,
+    n_tokens:int>>`` over the normalized token stream: chunk ``i`` covers
+    tokens ``[i*stride, i*stride + window)``; the last chunk is the
+    (possibly short) remainder; empty documents produce no chunks. Pure
+    JVM higher-order functions (split/sequence/transform/slice) — no
+    Python in the hot path, and arithmetic simple enough for an exact
+    DuckDB mirror (see ``doc_chunk`` in __spark_entry__.py)."""
+    toks = tokens(c)
+    n = F.size(toks)
+    n_chunks = F.when(
+        n > window,
+        (F.ceil((n - window) / F.lit(float(stride)))).cast("int") + 1,
+    ).otherwise(F.lit(1))
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.array_join(
+                    F.slice(toks, i * stride + 1, window), " "
+                ).alias("chunk_text"),
+                F.least(F.lit(window), n - i * stride)
+                .cast("int")
+                .alias("n_tokens"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_idx:int,chunk_text:string,n_tokens:int>>"
+    ))
+
+
 def char_count(c: Column) -> Column:
     return F.length(c)
 
