@@ -183,3 +183,33 @@ def test_mor_auto_compact_during_drain(spark, changelog, expected, tmp_path):
     got, cols = _state(spark, task.table)
     exp = sorted(tuple(r[c] for c in cols) for r in expected)
     assert got == exp
+
+
+def test_mor_vacuum_gcs_folded_deltas(spark, tmp_path):
+    # after compaction, the pre-fold delta files are unreferenced by the
+    # current manifest; vacuum (expire_snapshots) must physically remove
+    # them while the logical state stays intact
+    import os
+
+    t = SnapshotTable(str(tmp_path / "transcripts"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=2, write_mode="mor")
+
+    def row(lsn, text, sec):
+        return (lsn, datetime(2024, 1, 1, 0, 0, sec), 0, "UPSERT", "c1", 1,
+                "user", text, None, None, None)
+
+    for e in range(3):
+        apply_batch(spark, t, spark.createDataFrame(
+            [row(e * 10 + 1, f"v{e}", e)], S.CHANGELOG_SCHEMA), e)
+    t.compact(spark)
+    n_before = sum(
+        len(fs) for _, _, fs in os.walk(os.path.join(t.root, "data"))
+    )
+    stats = t.vacuum(keep_versions=1, min_age_sec=0.0)
+    n_after = sum(
+        len(fs) for _, _, fs in os.walk(os.path.join(t.root, "data"))
+    )
+    assert stats["deleted_files"] > 0
+    assert n_after < n_before
+    rows = t.read(spark).collect()
+    assert [(r["conv_id"], r["text"]) for r in rows] == [("c1", "v2")]
