@@ -539,6 +539,80 @@ WHERE o.conv_id IS NULL OR n.conv_id IS NULL
 """
 
 
+def _q_doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe wiring the dedup pipeline to the CDC table via
+    ``changes()`` — the 100 TB incremental-corpus story: bootstrap a
+    signature store from the first third of the log
+    (operators/dedup.py::dedup_store), then advance it through TWO
+    incremental rounds (dedup_exact_incremental), fingerprinting ONLY
+    the rows ``SnapshotTable.changes()`` reports between the snapshot
+    versions — never re-hashing the corpus. The invariant the oracle
+    pins: bootstrap + N incremental rounds ≡ one full-corpus exact dedup
+    recomputed from scratch over the final snapshot. Doc text is derived
+    duplicate-rich (97 distinct variants) so grouping/keeper flips on
+    insert/update/delete are genuinely exercised."""
+    from milvus_cdc_spark.operators.dedup import (
+        dedup_exact_incremental,
+        dedup_store,
+    )
+
+    log = _derive_changelog(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    step = hi // 3 + 1
+    root = _probe_table_root(sf_dir, "dedup_incr")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+
+    def corpus(df, *extra):
+        # duplicate-rich derived doc text: 97 variants across the corpus
+        return df.select(
+            *extra,
+            F.concat(
+                "conv_id", F.lit("#"), F.col("turn_idx").cast("string")
+            ).alias("doc_key"),
+            F.concat(
+                F.lit("d"), F.pmod(F.col("lsn"), F.lit(97)).cast("string")
+            ).alias("text"),
+        )
+
+    apply_batch(spark, table, log.filter(F.col("lsn") < step), epoch=0)
+    store = dedup_store(corpus(table.read(spark)))
+    for i in (1, 2):
+        v_prev = table.current().version
+        apply_batch(
+            spark,
+            table,
+            log.filter(
+                (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+            ),
+            epoch=i,
+        )
+        store = dedup_exact_incremental(
+            store, corpus(table.changes(spark, v_prev), "change_type")
+        )
+    return store
+
+
+_ORACLE_DEDUP_INCREMENTAL = f"""
+WITH log AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log),
+state AS (SELECT conv_id, turn_idx, lsn FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+fps AS (SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_key,
+               md5('d' || CAST(lsn % 97 AS VARCHAR)) AS fp
+        FROM state),
+g AS (SELECT fp, MIN(doc_key) AS keeper_key,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM fps GROUP BY fp)
+SELECT f.doc_key, f.fp, f.doc_key = g.keeper_key AS keep, g.group_size
+FROM fps f JOIN g USING (fp)
+"""
+
+
 # ---- portable SQL fragments for the text family ---------------------------
 _SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -597,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_schema_widen"] = _q_cdc_schema_widen
     q["cdc_bootstrap"] = _q_cdc_bootstrap
     q["cdc_table_changes"] = _q_cdc_table_changes
+    q["doc_dedup_incremental"] = _q_doc_dedup_incremental
     q["cdc_mor_final_state"] = _q_cdc_mor_final_state
     q["cdc_multi_collection"] = _q_cdc_multi_collection
     q["cdc_namespace"] = _q_cdc_namespace
@@ -978,6 +1053,8 @@ def oracle_sql() -> dict[str, str]:
         # replay — the handover proof, so the flagship oracle is reused
         "cdc_bootstrap": _ORACLE_FINAL_STATE,
         "cdc_table_changes": _ORACLE_TABLE_CHANGES,
+        # incremental store advance ≡ full recompute over the final state
+        "doc_dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         # merge-on-read must converge to the identical final state as the
         # CoW flagship — one oracle pins both write modes
         "cdc_mor_final_state": _ORACLE_FINAL_STATE,

@@ -50,7 +50,22 @@ def chunks(c: Column, window: int = 64, stride: int = 48) -> Column:
     (possibly short) remainder; empty documents produce no chunks. Pure
     JVM higher-order functions (split/sequence/transform/slice) — no
     Python in the hot path, and arithmetic simple enough for an exact
-    DuckDB mirror (see ``doc_chunk`` in __spark_entry__.py)."""
+    DuckDB mirror (see ``doc_chunk`` in __spark_entry__.py).
+
+    Validated driver-side (free): window/stride must be positive and
+    stride ≤ window — stride 0 divides by zero inside the chunk-count
+    ceil, and stride > window would silently drop the tokens between
+    windows."""
+    if window <= 0 or stride <= 0:
+        raise ValueError(
+            f"chunks(): window and stride must be positive, got "
+            f"window={window}, stride={stride}"
+        )
+    if stride > window:
+        raise ValueError(
+            f"chunks(): stride ({stride}) > window ({window}) would drop "
+            "tokens between consecutive windows"
+        )
     toks = tokens(c)
     n = F.size(toks)
     n_chunks = F.when(

@@ -49,11 +49,13 @@ from milvus_cdc_spark.plans.manifest import Manifest, SnapshotTable
 _BASE_PAYLOAD = list(S.PAYLOAD_COLUMNS)  # role, text, tool
 
 # runs the per-epoch offset-integrity scan concurrently with the merge
-# (see apply_batch); sized past MultiCdcTask's default per-batch table
-# concurrency so concurrent tables' gates never queue behind each other
+# (see apply_batch); sized at 2x MultiCdcTask's default per-batch table
+# concurrency (max_concurrency=8) so gates rarely queue even when a user
+# raises the task's concurrency — and queueing only delays, never breaks,
+# the .result() ordering
 from concurrent.futures import ThreadPoolExecutor  # noqa: E402
 
-_GATE_POOL = ThreadPoolExecutor(max_workers=8, thread_name_prefix="lsn-gate")
+_GATE_POOL = ThreadPoolExecutor(max_workers=16, thread_name_prefix="lsn-gate")
 
 
 def _rank_col(op_col):
@@ -325,7 +327,11 @@ def _append_delta(
     Same write-parallelism shape as the CoW merge: the repartition key
     carries a conv-derived salt past the bucket count so every core gets
     a writer task, while partitionBy still emits whole-bucket files.
-    Returns (n_live_actions, max_ts, appended_files_per_bucket)."""
+    Returns (n_live_actions, max_ts, new_files_per_bucket) — the NEW
+    delta files only; the commit appends them to each bucket's CURRENT
+    list (manifest ``append_buckets``), which is what lets the epoch
+    commit compose with a concurrent background fold instead of
+    resurrecting folded-away files."""
     physical_cols = [c for c, _ in m.columns]
     out_dir_rel = os.path.join("data", f"e{epoch}")
     out_dir = os.path.join(table.root, out_dir_rel)
@@ -363,7 +369,7 @@ def _append_delta(
     appended: dict[int, list[str]] = {}
     for b in touched:
         bdir = os.path.join(out_dir, f"bucket={b}")
-        new_rels = (
+        appended[b] = (
             [
                 os.path.join(out_dir_rel, f"bucket={b}", f)
                 for f in sorted(os.listdir(bdir))
@@ -372,10 +378,6 @@ def _append_delta(
             if os.path.isdir(bdir)
             else []
         )
-        # append to the snapshot's existing list — commit replaces the
-        # bucket's file list wholesale, so carrying the old files forward
-        # here IS the append (single-writer protocol makes this safe)
-        appended[b] = m.files.get(str(b), []) + new_rels
     return stats["k"] or 0, stats["mt"], appended
 
 
@@ -526,6 +528,7 @@ def apply_batch(
     tp = _mark("dedup_plan", tp)
 
     replaced: dict[int, list[str]] = {}
+    appended: dict[int, list[str]] = {}
     n_keys = 0
     max_ts = None
     if touched and m.write_mode == "mor":
@@ -542,7 +545,7 @@ def apply_batch(
         # merge comparison. Iceberg v2 MOR analogue (delete files +
         # rewrite_data_files); the reference's writer likewise appends to
         # the target log and lets Milvus resolve (channel_writer.go).
-        n_keys, max_ts, replaced = _append_delta(
+        n_keys, max_ts, appended = _append_delta(
             spark, table, m, actions, adds, touched, epoch
         )
         tp = _mark("merge_write", tp)
@@ -699,6 +702,7 @@ def apply_batch(
     table.commit(
         epoch,
         replaced_buckets=replaced,
+        append_buckets=appended,
         add_columns=adds,
         renames=renames,
         widen_columns=new_widens,

@@ -379,6 +379,76 @@ def embedding_neardup_pairs(
     )
 
 
+def dedup_store(
+    df: DataFrame,
+    key_col: str = "doc_key",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bootstrap a signature store — the skinny (key, fp) projection of a
+    corpus that :func:`dedup_exact_incremental` advances by CDC diffs.
+    Run ONCE over the initial corpus; afterwards only changed rows are
+    ever fingerprinted again."""
+    return df.select(
+        F.col(key_col).alias("doc_key"),
+        TXT.fingerprint(F.col(text_col)).alias("fp"),
+    )
+
+
+def dedup_exact_incremental(
+    store: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_key",
+    text_col: str = "text",
+) -> DataFrame:
+    """Advance an exact-dedup signature store by a CDC diff — the
+    100 TB incremental story: ``SnapshotTable.changes()`` emits the rows
+    that moved between two snapshots, fingerprints are computed for the
+    INSERTED/UPDATED rows ONLY (the expensive text hashing costs
+    ∝ |changes|, never a corpus re-hash), deleted/updated keys retire
+    from the store, and keepers are recomputed over the skinny (key, fp)
+    store — a single HashAggregate over two thin columns, the only part
+    that still touches the full corpus width⁰.
+
+    ⁰ and deliberately so: a keeper choice can flip when ANY member of
+    its group appears/disappears, so keeper recomputation is global —
+    but over ~40 bytes/doc, not documents.
+
+    ``store``: (doc_key, fp) from :func:`dedup_store` or a previous round
+    (extra columns like keep/group_size are ignored, so rounds chain).
+    ``changes``: rows with ``change_type`` ∈ insert|update|delete plus
+    ``key_col`` and ``text_col`` (the changes() contract: update rows
+    carry the post-image, delete rows the pre-image).
+
+    Returns the advanced store with keep flags:
+    (doc_key, fp, keep, group_size). Invariant (oracle-checked by
+    ``doc_dedup_incremental``): bootstrap + N incremental rounds ≡ one
+    full-corpus :func:`dedup_exact` over the final snapshot.
+    """
+    retired = changes.filter(
+        F.col("change_type").isin("delete", "update")
+    ).select(F.col(key_col).alias("doc_key"))
+    fresh = changes.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select(
+        F.col(key_col).alias("doc_key"),
+        TXT.fingerprint(F.col(text_col)).alias("fp"),
+    )
+    new_store = (
+        store.select("doc_key", "fp")
+        .join(retired, "doc_key", "left_anti")
+        .unionByName(fresh)
+    )
+    keeper = new_store.groupBy("fp").agg(
+        F.min("doc_key").alias("keeper_key"), F.count("*").alias("group_size")
+    )
+    return new_store.join(keeper, "fp").select(
+        "doc_key",
+        "fp",
+        (F.col("doc_key") == F.col("keeper_key")).alias("keep"),
+        "group_size",
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     docs: DataFrame | None = None,

@@ -427,24 +427,60 @@ class SnapshotTable:
         different applied ``(ts, lsn)`` an update; unchanged rows are
         filtered out.
 
-        Scale shape: one SHUFFLE_HASH full-outer join of the two bucket-
-        pruned logical reads, keyed on the merge key — no driver-side
-        state, no per-epoch bookkeeping, correct for ANY version pair
-        (including across compactions, which are logically invisible).
-        Columns added/renamed between the versions align on the NEW names;
-        rows existing only in the old version surface the old values under
-        those names where the physical column carries them.
+        Scale shape: one SHUFFLE_HASH full-outer join of two MANIFEST-
+        PRUNED reads — buckets whose file lists are byte-identical between
+        the two manifests are skipped before any file is opened (data
+        files are immutable, so an identical list ⇒ identical content in
+        both write modes), making a day-over-day incremental read of a
+        100 TB table cost ∝ changed buckets, not two full table scans
+        (Iceberg's changelog scan likewise reads only added/removed
+        files). The pruning is disabled only when the two versions differ
+        in drop/truncate watermarks — a metadata-only DROP_PARTITION can
+        kill rows in a bucket whose file list never changed. No driver-
+        side state, no per-epoch bookkeeping, correct for ANY version
+        pair (including across compactions, which rewrite every bucket's
+        list and therefore prune nothing).
+
+        Columns added/renamed between the versions align on the NEW
+        names: the old snapshot is read at its PHYSICAL schema and
+        projected through the new manifest's rename map, so a delete
+        row's pre-image surfaces renamed/widened column values wherever
+        the old physical column carries them; only columns added after
+        ``from_version`` read back NULL on the old side.
         """
         new_m = (
             self.current() if to_version is None else self.at_version(to_version)
         )
-        old_df = self.read(spark, manifest=self.at_version(from_version))
-        new_df = self.read(spark, manifest=new_m)
+        old_m = self.at_version(from_version)
+        buckets = None
+        if (
+            old_m.drop_watermarks == new_m.drop_watermarks
+            and old_m.truncate_watermark == new_m.truncate_watermark
+        ):
+            buckets = sorted(
+                int(b)
+                for b in set(old_m.files) | set(new_m.files)
+                if old_m.files.get(b) != new_m.files.get(b)
+            )
+        # old side at PHYSICAL schema, projected through the NEW manifest's
+        # logical names/types: values survive renames and type promotions
+        old_phys = self.read(
+            spark, manifest=old_m, buckets=buckets, logical=False
+        ).filter(F.coalesce(F.col("alive"), F.lit(True)))
+        old_have = set(old_phys.columns)
+
+        def _old_logical(n: str, t: str):
+            if n not in old_have:
+                return F.lit(None).cast(_SPARK_TYPES[t]).alias(new_m.logical_name(n))
+            c = F.col(n)
+            if n in new_m.added:
+                c = F.coalesce(c, F.col("extra").getItem(n).cast(_SPARK_TYPES[t]))
+            return c.cast(_SPARK_TYPES[t]).alias(new_m.logical_name(n))
+
+        old_df = old_phys.select(*[_old_logical(n, t) for n, t in new_m.columns])
+        new_df = self.read(spark, manifest=new_m, buckets=buckets)
         keys = ["conv_id", "turn_idx"]
         new_cols = new_df.columns
-        for c in new_cols:
-            if c not in old_df.columns:
-                old_df = old_df.withColumn(c, F.lit(None))
         o = old_df.select(
             *[F.col(c).alias(f"_old_{c}") for c in new_cols]
         )
@@ -475,11 +511,34 @@ class SnapshotTable:
     def committed_epoch(self, epoch: int) -> bool:
         return str(epoch) in self.current().epochs
 
+    @staticmethod
+    def _maintenance_only(old: Manifest, cur: Manifest) -> bool:
+        """True iff every commit between ``old`` and ``cur`` was content-
+        preserving maintenance (compaction/fold): no new epochs, no schema
+        or watermark change. Under the single-writer protocol this is the
+        ONLY legitimate way CURRENT advances under a planning writer — a
+        background fold racing the epoch loop (engine._maybe_compact) —
+        and a fold never changes logical content, so the writer may
+        REBASE: its replaced/appended buckets are just as valid against
+        ``cur``'s file lists. Anything else (a new epoch = a second
+        writer) stays a loud CommitConflictError."""
+        return (
+            cur.epochs == old.epochs
+            and cur.columns == old.columns
+            and cur.renames == old.renames
+            and cur.added == old.added
+            and cur.drop_watermarks == old.drop_watermarks
+            and cur.truncate_watermark == old.truncate_watermark
+            and cur.pending_widens == old.pending_widens
+            and cur.write_mode == old.write_mode
+        )
+
     def commit(
         self,
         epoch: int,
         *,
         replaced_buckets: dict[int, list[str]] | None = None,
+        append_buckets: dict[int, list[str]] | None = None,
         add_columns: list[tuple[str, str]] | None = None,
         renames: dict[str, str] | None = None,
         widen_columns: dict[str, str] | None = None,
@@ -490,14 +549,21 @@ class SnapshotTable:
     ) -> Manifest:
         """Atomically produce the next snapshot. Idempotent per epoch.
 
+        ``replaced_buckets`` swaps a bucket's file list wholesale (the CoW
+        merge); ``append_buckets`` extends the CURRENT list (the MOR delta
+        append — expressed as a delta so the commit composes with a
+        concurrent compaction fold instead of resurrecting folded files).
+
         ``base`` lets the (single) writer reuse the manifest it already
         loaded for the batch instead of re-reading and re-parsing it —
         manifest size grows with table history, and this is on the
         per-epoch fixed-cost path. Under the lease, the commit re-checks
-        (cheap int read, no re-parse) that ``base`` is still CURRENT: a
-        racing writer that advanced the table makes THIS commit the loser,
-        raising CommitConflictError — its replaced_buckets were computed
-        against a superseded file list and must not be merged."""
+        (cheap int read) that ``base`` is still CURRENT. If a racing
+        commit advanced the table: a chain of pure MAINTENANCE commits
+        (background fold — content-preserving by construction) is rebased
+        over; anything else makes THIS commit the loser, raising
+        CommitConflictError — its buckets were computed against a
+        superseded table state and must not be merged."""
         m = base if base is not None else self.current()
         if str(epoch) in m.epochs:
             return m
@@ -507,15 +573,19 @@ class SnapshotTable:
                 cur = self.at_version(cur_v)
                 if str(epoch) in cur.epochs:
                     return cur  # crash-replay raced a re-apply: already landed
-                raise CommitConflictError(
-                    f"{self.root}: planned against v{m.version} but CURRENT "
-                    f"is v{cur_v} — a second writer advanced this table "
-                    "(single-writer protocol violated)"
-                )
+                if self._maintenance_only(m, cur):
+                    m = cur  # rebase over the background fold
+                else:
+                    raise CommitConflictError(
+                        f"{self.root}: planned against v{m.version} but "
+                        f"CURRENT is v{cur_v} — a second writer advanced "
+                        "this table (single-writer protocol violated)"
+                    )
             return self._commit_locked(
                 m,
                 epoch,
                 replaced_buckets=replaced_buckets,
+                append_buckets=append_buckets,
                 add_columns=add_columns,
                 renames=renames,
                 widen_columns=widen_columns,
@@ -530,6 +600,7 @@ class SnapshotTable:
         epoch: int,
         *,
         replaced_buckets=None,
+        append_buckets=None,
         add_columns=None,
         renames=None,
         widen_columns=None,
@@ -543,6 +614,9 @@ class SnapshotTable:
                 files[str(b)] = rels
             else:
                 files.pop(str(b), None)
+        for b, rels in (append_buckets or {}).items():
+            if rels:
+                files[str(b)] = files.get(str(b), []) + list(rels)
         columns = [list(c) for c in m.columns]
         added = list(m.added)
         have = {c[0] for c in columns}
@@ -689,6 +763,153 @@ class SnapshotTable:
                     f"{self.root}: compaction planned against v{m.version} "
                     f"but CURRENT is v{cur_v} — a writer committed during "
                     "the rewrite; re-run compact"
+                )
+            self._write_manifest(nm)
+        return nm
+
+    def compact_buckets(
+        self,
+        spark: SparkSession,
+        buckets: list[int],
+        *,
+        files_per_bucket: int = 1,
+    ) -> dict[str, Any]:
+        """Fold ONLY the given buckets' file chains (per-bucket
+        ``rewrite_data_files``) — the merge-on-read housekeeping primitive:
+        cost ∝ the offending delta chains, never O(table), so one hot
+        bucket cannot impose a whole-table rewrite at an epoch boundary
+        (the latency cliff full ``compact`` has inline in a batch loop).
+
+        Commutes with a concurrent epoch writer by BUCKET-LEVEL
+        PREFIX-CAS instead of failing: the fold plans against CURRENT,
+        rewrites the selected buckets, then — under the lease — re-reads
+        CURRENT and, for each bucket whose current list still STARTS WITH
+        the planned list (MOR epochs only ever append), swaps the planned
+        prefix for the folded file and carries the mid-fold deltas on top
+        — sound because last-writer resolution is order-independent, so
+        ``[folded] + suffix ≡ planned + suffix``. A bucket whose planned
+        prefix is gone (a CoW epoch REWRITES content, making the fold
+        output stale) is SKIPPED and re-folded next trigger. The epoch
+        writer on its side rebases its append over this fold's commit
+        (see ``commit``) — neither side ever fails the other.
+        Drop/truncate watermarks are retained (same late-DML rationale as
+        ``compact``); dead rows in folded buckets are physically removed.
+
+        Returns {"folded": [...], "skipped": [...], "version": N}.
+        """
+        m = self.current()
+        planned = {int(b): list(m.files.get(str(b), [])) for b in buckets}
+        planned = {b: fl for b, fl in planned.items() if fl}
+        if not planned:
+            return {"folded": [], "skipped": [], "version": m.version}
+        df = self.read(
+            spark, manifest=m, buckets=sorted(planned), logical=False
+        )  # drops applied; MOR chains resolved to one winner per key
+        out_rel = f"data/fold-v{m.version}"
+        out_dir = os.path.join(self.root, out_rel)
+        (
+            df.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("conv_id"), F.lit(m.n_buckets)).cast("int"),
+            )
+            .withColumn(
+                "_csalt",
+                F.pmod(F.xxhash64("conv_id", F.lit(13)), F.lit(files_per_bucket)),
+            )
+            .repartition(len(planned) * files_per_bucket, "bucket", "_csalt")
+            .drop("_csalt")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out_dir)
+        )
+        folded_files: dict[int, list[str]] = {}
+        for b in planned:
+            bdir = os.path.join(out_dir, f"bucket={b}")
+            folded_files[b] = (
+                [
+                    os.path.join(out_rel, f"bucket={b}", f)
+                    for f in sorted(os.listdir(bdir))
+                    if f.endswith(".parquet")
+                ]
+                if os.path.isdir(bdir)
+                else []  # every row was dead → bucket empties
+            )
+        with self.commit_lease():
+            cur = self.current()
+            folded, skipped = [], []
+            files = dict(cur.files)
+            for b, old_list in planned.items():
+                cur_list = cur.files.get(str(b), [])
+                if cur_list[: len(old_list)] == old_list:
+                    merged = folded_files[b] + cur_list[len(old_list):]
+                    if merged:
+                        files[str(b)] = merged
+                    else:
+                        files.pop(str(b), None)
+                    folded.append(b)
+                else:
+                    skipped.append(b)  # bucket rewritten mid-fold (CoW)
+            if not folded:
+                return {"folded": [], "skipped": sorted(skipped),
+                        "version": cur.version}
+            nm = Manifest(
+                version=cur.version + 1,
+                snapshot_id=self._snapshot_id(f"fold-{cur.version}"),
+                n_buckets=cur.n_buckets,
+                columns=[list(c) for c in cur.columns],
+                renames=dict(cur.renames),
+                drop_watermarks=dict(cur.drop_watermarks),
+                files=files,
+                epochs=dict(cur.epochs),
+                added=list(cur.added),
+                summary={**cur.summary, "last_fold_version": cur.version},
+                truncate_watermark=cur.truncate_watermark,
+                pending_widens=dict(cur.pending_widens),
+                write_mode=cur.write_mode,
+            )
+            self._write_manifest(nm)
+        return {"folded": sorted(folded), "skipped": sorted(skipped),
+                "version": nm.version}
+
+    def convert(self, spark: SparkSession, write_mode: str) -> Manifest:
+        """Migrate the table's write mode in place (CoW ⇄ MOR) — the
+        documented 10^10 path for a grown CoW table whose per-epoch write
+        amplification has started to dominate (BASELINE.md: CoW decays
+        with table size, MOR holds flat). compact-then-flip: a freshly
+        compacted table is one file per bucket, which both modes read
+        identically, so the flip itself is metadata-only and the next
+        epoch simply takes the new write path. Idempotent (same mode =
+        no-op). Offline operation: runs under the commit lease; a drain
+        racing it fails loudly (write_mode is excluded from the
+        maintenance rebase) — pause the task first."""
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        m = self.current()
+        if m.write_mode == write_mode:
+            return m
+        m = self.compact(spark)
+        nm = Manifest(
+            version=m.version + 1,
+            snapshot_id=self._snapshot_id(f"convert-{m.version}-{write_mode}"),
+            n_buckets=m.n_buckets,
+            columns=[list(c) for c in m.columns],
+            renames=dict(m.renames),
+            drop_watermarks=dict(m.drop_watermarks),
+            files=dict(m.files),
+            epochs=dict(m.epochs),
+            added=list(m.added),
+            summary={**m.summary, "converted_from": m.write_mode},
+            truncate_watermark=m.truncate_watermark,
+            pending_widens=dict(m.pending_widens),
+            write_mode=write_mode,
+        )
+        with self.commit_lease():
+            cur_v = self._current_version()
+            if cur_v != m.version:
+                raise CommitConflictError(
+                    f"{self.root}: convert planned against v{m.version} but "
+                    f"CURRENT is v{cur_v} — a writer committed during the "
+                    "conversion; pause the task and re-run convert"
                 )
             self._write_manifest(nm)
         return nm

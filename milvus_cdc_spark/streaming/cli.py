@@ -1,5 +1,7 @@
 """Task CLI — create / drain / tail / status / pause / resume / delete /
-list / position / compact / vacuum / bootstrap, packaged for spark-submit.
+list / position / compact / vacuum / convert / bootstrap, packaged for
+spark-submit. Maintenance verbs (compact / vacuum / convert) cover every
+table of a task — single-table and multi-collection trees alike.
 
 The analogue of the reference's HTTP task API — all eight task verbs
 (create/delete/pause/resume/get/getPosition/list/maintenance,
@@ -96,6 +98,43 @@ def _build_task(spark, spec, a):
     return CdcTask(spark, spec["log"], spec["table"], spec["checkpoint"], **kw)
 
 
+def _task_table_roots(a, p) -> list[tuple[str, str]]:
+    """(name, table_root) pairs a maintenance verb operates on: the one
+    table of a single-table spec, or every SnapshotTable under a
+    multi-collection spec's tables_root (including namespaced ones) —
+    mirroring the reference, where one ``maintenance`` verb serves any
+    task shape (server/cdc_api.go:26-36, server/handle_map.go:35-133)."""
+    from milvus_cdc_spark.streaming.registry import _walk_tables
+
+    if a.table:
+        return [(os.path.basename(os.path.normpath(a.table)), a.table)]
+    spec = _spec_from_args(a, p)
+    if spec.get("table"):
+        return [(os.path.basename(os.path.normpath(spec["table"])), spec["table"])]
+    return list(_walk_tables(spec["tables_root"]))
+
+
+def _maintenance_roots(a, p, verb: str, spark=None) -> dict:
+    from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+    out = {}
+    for name, root in _task_table_roots(a, p):
+        t = SnapshotTable(root)
+        if verb == "vacuum":
+            out[name] = t.vacuum()
+        elif verb == "compact":
+            m = t.compact(spark)
+            out[name] = {
+                "version": m.version,
+                "snapshot_id": m.snapshot_id,
+                "n_files": sum(len(v) for v in m.files.values()),
+            }
+        elif verb == "convert":
+            m = t.convert(spark, a.write_mode)
+            out[name] = {"version": m.version, "write_mode": m.write_mode}
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="milvus_cdc_spark")
     p.add_argument(
@@ -103,6 +142,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "create", "drain", "status", "tail", "pause", "resume",
             "delete", "list", "position", "compact", "vacuum", "bootstrap",
+            "convert",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -138,10 +178,10 @@ def main(argv: list[str] | None = None) -> int:
 
     # ---- registry / filesystem commands (no Spark session) --------------
     if a.command == "vacuum":
-        from milvus_cdc_spark.plans.manifest import SnapshotTable
-
-        table = a.table or _spec_from_args(a, p)["table"]
-        print(json.dumps(SnapshotTable(table).vacuum()))
+        # maintenance covers EVERY table of a task — single-table specs and
+        # multi-collection trees alike (the reference's one maintenance
+        # verb serves any task, server/cdc_api.go:26-36)
+        print(json.dumps(_maintenance_roots(a, p, "vacuum")))
         return 0
     if a.command == "pause":
         reg = _registry(a)
@@ -166,6 +206,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from milvus_cdc_spark.session import get_spark
     from milvus_cdc_spark.streaming.engine import FailProtect
+
+    if a.command in ("compact", "convert"):
+        spark = get_spark("milvus_cdc_spark_cli", master=a.master)
+        print(json.dumps(_maintenance_roots(a, p, a.command, spark=spark)))
+        return 0
 
     if a.command == "bootstrap":
         # initial full load of the task's target table (snapshot phase —
@@ -248,12 +293,6 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(task.status()))
     elif a.command == "status":
         print(json.dumps(task.status()))
-    elif a.command == "compact":
-        from milvus_cdc_spark.plans.manifest import SnapshotTable
-
-        m = SnapshotTable(spec["table"]).compact(spark)
-        print(json.dumps({"version": m.version, "snapshot_id": m.snapshot_id,
-                          "n_files": sum(len(v) for v in m.files.values())}))
     return 0
 
 

@@ -81,19 +81,66 @@ class _TaskLifecycle:
     def _init_lifecycle(self, checkpoint_dir: str) -> None:
         self.checkpoint_dir = checkpoint_dir
         self._status_path = os.path.join(checkpoint_dir, "task_status.json")
+        self._fold_pool = None
+        self._fold_futures: dict[str, Any] = {}
+        self._fold_errors: dict[str, str] = {}
 
     def _maybe_compact(self, table) -> None:
-        """Merge-on-read housekeeping at an epoch boundary: fold a table's
-        delta chain once any bucket exceeds ``auto_compact_files`` files,
-        bounding read-side resolution cost (Iceberg rewrite_data_files on
-        a file-count trigger; the reference leans on Milvus target-side
-        auto-compaction). Runs between epochs under the same single-writer
-        lease the commits use; logically invisible (test_maintenance)."""
+        """Merge-on-read housekeeping at an epoch boundary, NON-BLOCKING
+        and PER-BUCKET: once a bucket's delta chain exceeds
+        ``auto_compact_files`` files, fold the over-threshold buckets ONLY
+        (SnapshotTable.compact_buckets — cost ∝ the offending chains, not
+        table size: one hot bucket no longer imposes an O(table) rewrite
+        at the epoch boundary) on a background worker, so the epoch loop
+        never stalls behind the rewrite (Iceberg rewrite_data_files on a
+        file-count trigger; the reference leans on Milvus target-side
+        auto-compaction). Concurrency safety is owned by the storage
+        layer: the fold commits by BUCKET-LEVEL CAS — buckets that gained
+        a delta mid-fold are skipped and re-folded next trigger — and the
+        epoch commit REBASES its delta append over a fold commit
+        (manifest.commit's maintenance rebase), so neither side ever
+        fails the other. One fold in flight per table; a failed fold is
+        recorded (status ``fold_errors``) and retried at the next
+        boundary — reads stay correct either way, just costlier until
+        folded (test_mor.py pins overlap + final-state equality)."""
         if not self.auto_compact_files:
             return
+        fut = self._fold_futures.get(table.root)
+        if fut is not None:
+            if not fut.done():
+                return
+            exc = fut.exception()
+            self._fold_futures.pop(table.root, None)
+            if exc is not None:
+                self._fold_errors[table.root] = repr(exc)
         m = table.current()
-        if any(len(v) > self.auto_compact_files for v in m.files.values()):
-            table.compact(self.spark)
+        hot = [
+            int(b)
+            for b, v in m.files.items()
+            if len(v) > self.auto_compact_files
+        ]
+        if not hot:
+            return
+        if self._fold_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._fold_pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="bucket-fold"
+            )
+        self._fold_futures[table.root] = self._fold_pool.submit(
+            table.compact_buckets, self.spark, hot
+        )
+
+    def _join_folds(self) -> None:
+        """Wait out in-flight background folds at a clean stop (drain
+        completion / pause): the fold tolerates concurrent writers, but
+        stopping shouldn't leave an orphan thread running Spark jobs."""
+        for root, fut in list(self._fold_futures.items()):
+            try:
+                fut.result()
+            except Exception as e:  # recorded, retried next start
+                self._fold_errors[root] = repr(e)
+            self._fold_futures.pop(root, None)
 
     def start(self, available_now: bool = False):  # pragma: no cover - abstract
         raise NotImplementedError
@@ -102,6 +149,7 @@ class _TaskLifecycle:
         if self.query is not None:
             self.query.stop()
             self.query = None
+        self._join_folds()
         self._write_status("Paused", reason=reason)
 
     def resume(self, available_now: bool = False):
@@ -113,6 +161,7 @@ class _TaskLifecycle:
         try:
             ok = self.query.awaitTermination(timeout_sec)
             if ok:
+                self._join_folds()
                 self._write_status("Stopped")
             return bool(ok)
         except Exception as e:  # error → pause with reason (reference C4)
@@ -157,6 +206,7 @@ class _TaskLifecycle:
                         else min(poll_sec, max(0.05, remaining))
                     )
                     if self.query.awaitTermination(slice_sec):
+                        self._join_folds()
                         self._write_status("Stopped")
                         return True
                     if pause_check is None:
@@ -185,6 +235,8 @@ class _TaskLifecycle:
                 if self.query and self.query.isActive
                 else st.get("persisted_state", "Stopped")
             )
+        if self._fold_errors:
+            st["fold_errors"] = dict(self._fold_errors)
         st.update(self._status_extra())
         return st
 
