@@ -484,9 +484,16 @@ def duplicate_clusters(
     neighbor-min aggregate, once in the rebind join), so without plan
     truncation the logical plan DOUBLES per round (a diameter-9 chain
     overflowed Spark's 2 GB plan-string cap in testing); with it each
-    round plans against materialized blocks and stays O(1). The loop is
-    already eager (one convergence-count job per round), so checkpointing
-    adds no extra pass.
+    round plans against materialized blocks and stays O(1).
+
+    FRONTIER propagation: round k only propagates FROM nodes whose label
+    changed in round k−1 (round 0: all) — sound because labels only
+    decrease, so an unchanged neighbor's value was already folded into
+    the previous round's min. Late rounds therefore join only the edges
+    incident to the shrinking frontier instead of re-walking every edge
+    (the long tail of a high-diameter component costs ∝ frontier, not
+    ∝ |edges|); the per-round convergence count runs over the already-
+    checkpointed blocks, so it adds no recompute.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -501,10 +508,12 @@ def duplicate_clusters(
             .select("id", F.col("id").alias("lab"))
             .localCheckpoint(eager=True)
         )
+        frontier = labels  # round 0: every node is newly labelled
         for _ in range(max_iters):
-            # one round: every node adopts min(own label, neighbors' labels)
+            # one round: nodes adjacent to the frontier adopt
+            # min(own label, changed neighbors' labels)
             nmin = (
-                edges.join(labels.withColumnRenamed("id", "src"), "src")
+                edges.join(frontier.withColumnRenamed("id", "src"), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("lab").alias("nlab"))
             )
@@ -520,6 +529,7 @@ def duplicate_clusters(
             )
             n_changed = nxt.filter(F.col("chg")).count()
             labels = nxt.select("id", "lab")
+            frontier = nxt.filter(F.col("chg")).select("id", "lab")
             if n_changed == 0:
                 break
         else:

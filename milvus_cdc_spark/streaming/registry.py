@@ -224,6 +224,14 @@ class TaskRegistry:
                 t = self._table_position(root)
                 if t:
                     out["tables"][name] = t
+            # task-level lag gauge = the WORST per-table lag (the number a
+            # replication dashboard alerts on; reference replicate_tt is
+            # likewise per-task, server/metrics/metrics.go:107-137)
+            lags = [
+                t["lag_sec"] for t in out["tables"].values() if "lag_sec" in t
+            ]
+            if lags:
+                out["lag_sec"] = max(lags)
         return out
 
     def _table_position(self, root: str) -> dict[str, Any]:

@@ -326,6 +326,8 @@ def test_cli_multi_collection_lifecycle(spark, tmp_path):
     for t in pos["tables"].values():
         assert t["table"]["epochs_committed"] >= 1
         assert t["lag_sec"] > 0
+    # task-level rollup = the worst per-table lag
+    assert pos["lag_sec"] == max(t["lag_sec"] for t in pos["tables"].values())
 
     # replicated state matches the per-table sequential oracle
     rows = [r.asDict() for r in spark.read.parquet(log_dir).collect()]
