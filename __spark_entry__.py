@@ -446,6 +446,42 @@ def _q_cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for in-place write-mode migration
+    (plans/manifest.py::SnapshotTable.convert, CLI verb ``convert``) —
+    the documented 10^10 operational path: a table that STARTED
+    copy-on-write and grew until per-epoch write amplification dominates
+    is converted to merge-on-read mid-life (compact-then-flip under the
+    commit lease) and the tail keeps applying, now as O(batch) delta
+    appends. First third applied CoW → convert → remaining two thirds
+    applied MOR; the final state must equal the full replay (same oracle
+    as the CoW flagship), proving the conversion boundary loses nothing
+    and both write paths compose on one table."""
+    log = _derive_changelog(spark, sf_dir)
+    root = _probe_table_root(sf_dir, "convert")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(
+        S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True,
+        write_mode="cow",
+    )
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    step = hi // 3 + 1
+    apply_batch(spark, table, log.filter(F.col("lsn") < step), epoch=0)
+    assert table.convert(spark, "mor").write_mode == "mor"
+    for i in (1, 2):
+        apply_batch(
+            spark,
+            table,
+            log.filter(
+                (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+            ),
+            epoch=i,
+        )
+    return table.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn"
+    )
+
+
 def _q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for the snapshot-bootstrap path (initial full load →
     changelog-tail handover, operators/apply.py::bootstrap_table; the
@@ -673,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_table_changes"] = _q_cdc_table_changes
     q["doc_dedup_incremental"] = _q_doc_dedup_incremental
     q["cdc_mor_final_state"] = _q_cdc_mor_final_state
+    q["cdc_convert"] = _q_cdc_convert
     q["cdc_multi_collection"] = _q_cdc_multi_collection
     q["cdc_namespace"] = _q_cdc_namespace
     q["cdc_maintenance"] = _q_cdc_maintenance
@@ -1058,6 +1095,8 @@ def oracle_sql() -> dict[str, str]:
         # merge-on-read must converge to the identical final state as the
         # CoW flagship — one oracle pins both write modes
         "cdc_mor_final_state": _ORACLE_FINAL_STATE,
+        # CoW→MOR conversion mid-life must lose nothing at the boundary
+        "cdc_convert": _ORACLE_FINAL_STATE,
         "cdc_multi_collection": _ORACLE_MULTI_COLLECTION,
         "cdc_namespace": _ORACLE_NAMESPACE,
         # maintenance must be logically invisible → same oracle as the
