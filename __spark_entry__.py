@@ -629,6 +629,71 @@ def _q_doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store
 
 
+def _q_doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe: the LSH sibling of ``doc_dedup_incremental`` —
+    incremental NEAR-dup maintenance over the CDC table via
+    ``changes()``. Bootstrap a MinHash signature store + pair set from
+    the first third of the log (operators/dedup.py::minhash_store +
+    minhash_lsh_pairs), then advance both through TWO incremental rounds
+    (minhash_lsh_incremental): only the rows changes() reports are ever
+    shingled/hashed, candidates come from a broadcast band-bucket join
+    (store scanned, never shuffled), and pairs touching retired keys
+    leave the set. The oracle pins EXACT equality with one full-corpus
+    minhash_lsh_pairs recomputed from scratch over the final snapshot —
+    possible because band buckets and jaccard are pure functions of the
+    two documents, and every pair has a round where one member is fresh.
+    Doc text is derived with 4 tokens / 3 shingles per doc so partial
+    overlaps (jaccard 500) and exact dups (1000) both occur."""
+    from milvus_cdc_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+        minhash_store,
+    )
+
+    log = _derive_changelog(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    step = hi // 3 + 1
+    root = _probe_table_root(sf_dir, "minhash_incr")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+
+    def corpus(df, *extra):
+        # 4 deterministic tokens -> 3 bigram shingles; docs agreeing on
+        # (lsn%13, lsn%7, lsn%5) but not %3 share 2/4 distinct shingles
+        # (jaccard 500) — genuine near-dups, not just exact clones
+        return df.select(
+            *extra,
+            F.concat(
+                "conv_id", F.lit("#"), F.col("turn_idx").cast("string")
+            ).alias("doc_key"),
+            F.concat(
+                F.lit("a"), F.pmod(F.col("lsn"), F.lit(13)).cast("string"),
+                F.lit(" b"), F.pmod(F.col("lsn"), F.lit(7)).cast("string"),
+                F.lit(" c"), F.pmod(F.col("lsn"), F.lit(5)).cast("string"),
+                F.lit(" d"), F.pmod(F.col("lsn"), F.lit(3)).cast("string"),
+            ).alias("text"),
+        )
+
+    apply_batch(spark, table, log.filter(F.col("lsn") < step), epoch=0)
+    boot = corpus(table.read(spark))
+    store = minhash_store(boot)
+    pairs = minhash_lsh_pairs(boot, id_col="doc_key")
+    for i in (1, 2):
+        v_prev = table.current().version
+        apply_batch(
+            spark,
+            table,
+            log.filter(
+                (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+            ),
+            epoch=i,
+        )
+        store, pairs = minhash_lsh_incremental(
+            store, pairs, corpus(table.changes(spark, v_prev), "change_type")
+        )
+    return pairs
+
+
 _ORACLE_DEDUP_INCREMENTAL = f"""
 WITH log AS ({_DERIVE_SQL}),
 ranked AS (
@@ -652,6 +717,55 @@ FROM fps f JOIN g USING (fp)
 # ---- portable SQL fragments for the text family ---------------------------
 _SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# full-corpus minhash_lsh_pairs recomputed from scratch over the FINAL
+# snapshot state — the invariant doc_minhash_incremental's bootstrap + N
+# incremental rounds must land on exactly (same chain as doc_minhash_lsh,
+# over the derived transcript corpus instead of `documents`)
+_ORACLE_MINHASH_INCREMENTAL = f"""
+WITH log AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log),
+state AS (SELECT conv_id, turn_idx, lsn FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+corpus AS (SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_key,
+                  'a' || CAST(lsn % 13 AS VARCHAR) ||
+                  ' b' || CAST(lsn % 7 AS VARCHAR) ||
+                  ' c' || CAST(lsn % 5 AS VARCHAR) ||
+                  ' d' || CAST(lsn % 3 AS VARCHAR) AS text
+           FROM state),
+t AS (SELECT doc_key, {_SQL_TOKS} AS toks FROM corpus),
+s AS (SELECT doc_key,
+        list_distinct(CASE WHEN len(toks) >= 2
+          THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+          ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM t),
+sig AS (SELECT doc_key, sh,
+          list_transform(range(0, 16), i ->
+            list_min(list_transform(sh, s2 ->
+              ('0x' || substr(md5(s2 || '#' || i), 1, 15))::BIGINT))) AS sg
+        FROM s),
+banded AS (
+  SELECT doc_key, sh, band,
+         md5(sg[band*4+1]::VARCHAR || ',' || sg[band*4+2]::VARCHAR || ',' ||
+             sg[band*4+3]::VARCHAR || ',' || sg[band*4+4]::VARCHAR) AS bucket
+  FROM sig, (SELECT unnest(range(0, 4)) AS band)),
+cand AS (
+  SELECT DISTINCT a.doc_key AS doc_a, b.doc_key AS doc_b,
+                  a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_key < b.doc_key)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         CAST(FLOOR(len(list_filter(sh_a, x -> list_contains(sh_b, x))) * 1000.0 /
+              (len(sh_a) + len(sh_b) - len(list_filter(sh_a, x -> list_contains(sh_b, x))))) AS BIGINT)
+         AS jaccard_milli
+  FROM cand)
+WHERE jaccard_milli >= 500"""
 
 
 # ---- portable SQL fragments for the vector family --------------------------
@@ -708,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_bootstrap"] = _q_cdc_bootstrap
     q["cdc_table_changes"] = _q_cdc_table_changes
     q["doc_dedup_incremental"] = _q_doc_dedup_incremental
+    q["doc_minhash_incremental"] = _q_doc_minhash_incremental
     q["cdc_mor_final_state"] = _q_cdc_mor_final_state
     q["cdc_convert"] = _q_cdc_convert
     q["cdc_multi_collection"] = _q_cdc_multi_collection
@@ -1092,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_table_changes": _ORACLE_TABLE_CHANGES,
         # incremental store advance ≡ full recompute over the final state
         "doc_dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
+        "doc_minhash_incremental": _ORACLE_MINHASH_INCREMENTAL,
         # merge-on-read must converge to the identical final state as the
         # CoW flagship — one oracle pins both write modes
         "cdc_mor_final_state": _ORACLE_FINAL_STATE,

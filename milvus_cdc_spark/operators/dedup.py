@@ -134,6 +134,35 @@ def shingle_jaccard_pairs(
     )
 
 
+def _banded(df: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH-band projection of a signature frame
+    (id, sig). Pure JVM expressions: md5 over the band's signature slice,
+    exactly mirrored by the DuckDB oracle SQL."""
+    rows_per_band = n_hashes // bands
+    return df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig").getItem(bi * rows_per_band + r)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold_milli: int = 500,
@@ -167,28 +196,7 @@ def minhash_lsh_pairs(
     # (id, band, bucket) rows shuffle, and the arrays are fetched back
     # with two id-keyed joins against the (persisted) base — one array
     # copy per side, independent of band count
-    banded = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig").getItem(bi * rows_per_band + r)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded(base, n_hashes, bands)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -447,6 +455,142 @@ def dedup_exact_incremental(
         (F.col("doc_key") == F.col("keeper_key")).alias("keep"),
         "group_size",
     )
+
+
+def _sig_frame(
+    df: DataFrame,
+    n_hashes: int,
+    k: int,
+    text_col: str,
+    id_col: str,
+    scope: CacheScope,
+) -> DataFrame:
+    """(id, sh, sig) minhash-signature projection of a (id, text) frame —
+    the per-document unit of work both the batch and incremental LSH
+    paths share. Staged through persisted projections like _shingle_df."""
+    return scope.persist(
+        _shingle_df(df, k, text_col, id_col, scope).select(
+            "id", "sh", TXT.minhash_from_shingles(F.col("sh"), n_hashes).alias("sig")
+        )
+    )
+
+
+def minhash_store(
+    df: DataFrame,
+    n_hashes: int = 16,
+    k: int = 2,
+    text_col: str = "text",
+    key_col: str = "doc_key",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Bootstrap a MinHash signature store: (doc_key, sh, sig) for the
+    initial corpus. Run ONCE; afterwards :func:`minhash_lsh_incremental`
+    advances it by CDC diffs, shingling/hashing only changed rows.
+
+    The store carries the shingle sets alongside the signatures because
+    exact-jaccard verification of future candidates needs the OLD side's
+    shingles — keeping them is what makes every later round cost
+    ∝ |changes|, never a corpus re-tokenization."""
+    scope = scope or default_scope()
+    return _sig_frame(
+        df.select(F.col(key_col).alias("doc_key"), F.col(text_col)),
+        n_hashes, k, text_col, "doc_key", scope,
+    ).withColumnRenamed("id", "doc_key")
+
+
+def minhash_lsh_incremental(
+    store: DataFrame,
+    pairs: DataFrame,
+    changes: DataFrame,
+    threshold_milli: int = 500,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 2,
+    text_col: str = "text",
+    key_col: str = "doc_key",
+    scope: CacheScope | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Advance a MinHash-LSH near-dup state by a CDC diff — the 100 TB
+    incremental near-dup story, the LSH sibling of
+    :func:`dedup_exact_incremental`: ``SnapshotTable.changes()`` emits
+    the rows that moved between two snapshots; only those rows are
+    shingled/hashed; candidate discovery joins the (skinny, broadcast)
+    fresh band buckets against the store's band projection — a map-side
+    hash join, so the big side is SCANNED once but never SHUFFLED; pairs
+    touching retired keys leave the pair set, re-verified pairs enter it.
+
+    ``store``/``pairs``: from :func:`minhash_store` +
+    :func:`minhash_lsh_pairs` (bootstrap) or a previous round.
+    ``changes``: the changes() contract — ``change_type`` ∈
+    insert|update|delete, update rows carry the post-image, delete rows
+    the pre-image.
+
+    Returns ``(store', pairs')``. Invariant (oracle-checked by
+    ``doc_minhash_incremental``): bootstrap + N incremental rounds ≡ one
+    full-corpus :func:`minhash_lsh_pairs` over the final snapshot —
+    exact equality, not approximation, because band buckets and jaccard
+    are pure functions of the two documents, and every pair has a round
+    in which at least one member is fresh.
+    """
+    scope = scope or default_scope()
+    retired = changes.filter(
+        F.col("change_type").isin("delete", "update")
+    ).select(F.col(key_col).alias("doc_key"))
+    fresh = minhash_store(
+        changes.filter(F.col("change_type").isin("insert", "update")),
+        n_hashes, k, text_col, key_col, scope,
+    )
+    new_store = scope.persist(
+        store.select("doc_key", "sh", "sig")
+        .join(retired, "doc_key", "left_anti")
+        .unionByName(fresh)
+    )
+
+    # candidates = store'-side band rows ⋈ broadcast(fresh band rows):
+    # the store side streams map-side (no shuffle of the corpus), the
+    # fresh side is |changes|-sized. Pair key is canonicalized so a
+    # fresh-fresh pair found from both sides dedupes.
+    sb = _banded(new_store.withColumnRenamed("doc_key", "id"), n_hashes, bands)
+    fb = _banded(fresh.withColumnRenamed("doc_key", "id"), n_hashes, bands)
+    cand = (
+        sb.alias("s")
+        .join(
+            F.broadcast(fb.alias("f")),
+            (F.col("s.band") == F.col("f.band"))
+            & (F.col("s.bucket") == F.col("f.bucket"))
+            & (F.col("s.id") != F.col("f.id")),
+        )
+        .select(
+            F.least("s.id", "f.id").alias("doc_a"),
+            F.greatest("s.id", "f.id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = new_store.select(F.col("doc_key").alias("id"), "sh")
+    verified = (
+        cand.join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = (inter * 1000 / union).cast("bigint")
+    fresh_pairs = verified.select(
+        "doc_a", "doc_b", jac.alias("jaccard_milli")
+    ).filter(F.col("jaccard_milli") >= threshold_milli)
+
+    surviving = (
+        pairs.join(retired.withColumnRenamed("doc_key", "doc_a"), "doc_a", "left_anti")
+        .join(retired.withColumnRenamed("doc_key", "doc_b"), "doc_b", "left_anti")
+        .select("doc_a", "doc_b", "jaccard_milli")
+    )
+    # disjoint by construction (every fresh pair touches a fresh key;
+    # no surviving pair does — updates were retired above), but a pair
+    # rediscovered through an insert-over-existing-key anomaly would
+    # carry the same jaccard either way, so dedup is safe
+    new_pairs = surviving.unionByName(fresh_pairs).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+    return new_store, new_pairs
 
 
 def duplicate_clusters(

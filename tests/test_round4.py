@@ -346,6 +346,77 @@ def test_dedup_exact_incremental_matches_full_recompute(spark):
     assert got == want == {"b": (True, 2), "c": (False, 2), "d": (True, 1)}
 
 
+def test_minhash_incremental_matches_full_recompute(spark):
+    """bootstrap + one incremental round == full minhash_lsh_pairs over
+    the final corpus — exact set equality, the invariant the
+    doc_minhash_incremental oracle pins at sf0.01."""
+    from milvus_cdc_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+        minhash_store,
+    )
+
+    corpus0 = spark.createDataFrame(
+        [("a", "w1 w2 w3 w4"), ("b", "w1 w2 w3 w4"),
+         ("c", "w1 w2 w3 x9"), ("d", "zz yy")],
+        "doc_key string, text string",
+    )
+    store = minhash_store(corpus0)
+    pairs = minhash_lsh_pairs(corpus0, id_col="doc_key")
+    # delete the exact-dup 'a', update 'c' into the dup group, insert a
+    # near-dup 'e' — exercises retire, re-discover, and fresh-fresh paths
+    changes = spark.createDataFrame(
+        [("delete", "a", "w1 w2 w3 w4"),
+         ("update", "c", "w1 w2 w3 w4"),
+         ("insert", "e", "w1 w2 w3 q7")],
+        "change_type string, doc_key string, text string",
+    )
+    store, pairs = minhash_lsh_incremental(store, pairs, changes)
+    got = {(r["doc_a"], r["doc_b"], r["jaccard_milli"])
+           for r in pairs.collect()}
+    final = spark.createDataFrame(
+        [("b", "w1 w2 w3 w4"), ("c", "w1 w2 w3 w4"),
+         ("d", "zz yy"), ("e", "w1 w2 w3 q7")],
+        "doc_key string, text string",
+    )
+    want = {(r["doc_a"], r["doc_b"], r["jaccard_milli"])
+            for r in minhash_lsh_pairs(final, id_col="doc_key").collect()}
+    assert got == want
+    assert ("b", "c", 1000) in got  # the re-discovered exact-dup pair
+    assert not any("a" in p[:2] for p in got)  # retired key fully gone
+    # store advanced to exactly the final corpus keys
+    assert {r["doc_key"] for r in store.select("doc_key").collect()} == \
+        {"b", "c", "d", "e"}
+
+
+def test_minhash_incremental_candidate_join_broadcasts_fresh(spark):
+    """The store side must be scanned, never shuffled: the candidate join
+    keys the |changes|-sized fresh band rows as a broadcast build side.
+    No Exchange may sit between the store scan and the band join, and no
+    cartesian anywhere."""
+    from milvus_cdc_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+        minhash_store,
+    )
+
+    corpus0 = spark.createDataFrame(
+        [(f"k{i}", f"w{i} w{i + 1} w{i + 2}") for i in range(20)],
+        "doc_key string, text string",
+    )
+    changes = spark.createDataFrame(
+        [("insert", "new", "w1 w2 w3")],
+        "change_type string, doc_key string, text string",
+    )
+    _, pairs = minhash_lsh_incremental(
+        minhash_store(corpus0), minhash_lsh_pairs(corpus0, id_col="doc_key"),
+        changes,
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_chunks_validates_window_stride(spark):
     from milvus_cdc_spark.functions.text import chunks
 
