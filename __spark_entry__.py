@@ -482,6 +482,41 @@ def _q_cdc_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for cascaded table→table replication
+    (streaming/cascade.py) — the reference's ACTUAL topology (one Milvus
+    replicated into another, server/cdc_impl.go:213-320) lake-native:
+    the changelog drains into source table A (3 epochs, the flagship
+    flow), and after each epoch A's manifest-pruned ``changes()`` diff
+    is applied into target table B through the same idempotent
+    apply_batch MERGE, with A's schema evolution (the derived log's
+    ADD/RENAME/WIDEN DDL) re-synthesized onto B from the manifest diff.
+    Returned state is B's — it must equal the same window oracle the
+    CoW flagship pins, i.e. the second-level tail loses NOTHING relative
+    to a first-level one."""
+    from milvus_cdc_spark.streaming.cascade import cascade_epoch
+
+    log = _derive_changelog(spark, sf_dir)
+    root = _probe_table_root(sf_dir, "cascade")
+    a = SnapshotTable(os.path.join(root, "a"))
+    a.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    b = SnapshotTable(os.path.join(root, "b"))
+    b.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    step = hi // 3 + 1
+    for i in range(3):
+        v_prev = a.current().version
+        apply_batch(
+            spark, a,
+            log.filter((F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)),
+            epoch=i,
+        )
+        cascade_epoch(spark, a, b, v_prev, epoch=i)
+    return b.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn"
+    )
+
+
 def _q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for the snapshot-bootstrap path (initial full load →
     changelog-tail handover, operators/apply.py::bootstrap_table; the
@@ -825,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_minhash_incremental"] = _q_doc_minhash_incremental
     q["cdc_mor_final_state"] = _q_cdc_mor_final_state
     q["cdc_convert"] = _q_cdc_convert
+    q["cdc_cascade"] = _q_cdc_cascade
     q["cdc_multi_collection"] = _q_cdc_multi_collection
     q["cdc_namespace"] = _q_cdc_namespace
     q["cdc_maintenance"] = _q_cdc_maintenance
@@ -1213,6 +1249,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_mor_final_state": _ORACLE_FINAL_STATE,
         # CoW→MOR conversion mid-life must lose nothing at the boundary
         "cdc_convert": _ORACLE_FINAL_STATE,
+        # second-level tail (A → changes() → B) must land the SAME final
+        # state as a first-level one — one oracle pins both hops
+        "cdc_cascade": _ORACLE_FINAL_STATE,
         "cdc_multi_collection": _ORACLE_MULTI_COLLECTION,
         "cdc_namespace": _ORACLE_NAMESPACE,
         # maintenance must be logically invisible → same oracle as the

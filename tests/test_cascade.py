@@ -1,0 +1,172 @@
+"""Cascaded (table→table) replication: a SnapshotTable's changes() diff
+applied into a second table through the same apply_batch MERGE — the
+reference's source→target topology (/root/reference/server/cdc_impl.go:
+213-320) re-expressed lake-native. The invariant everywhere: the target
+converges to the source's exact logical state, including schema
+evolution replayed from the manifest diff."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark import schemas as S
+from milvus_cdc_spark.operators.apply import apply_batch
+from milvus_cdc_spark.plans.manifest import SnapshotTable
+from milvus_cdc_spark.streaming.cascade import (
+    cascade_epoch,
+    cascade_until_current,
+    changes_to_ops,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, S.CHANGELOG_SCHEMA)
+
+
+def _ev(lsn, conv, turn, text, sec, op="INSERT", part=0, tool=None,
+        ddl_arg=None, extra=None):
+    role = "user" if op in S.DML_OPS and op != S.OP_DELETE else None
+    return (lsn, datetime(2024, 1, 1, 0, 0, sec), part, op, conv, turn,
+            role, text, tool, ddl_arg, extra)
+
+
+def _pair(spark, tmp_path, n_buckets=4):
+    a = SnapshotTable(str(tmp_path / "a"))
+    a.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=n_buckets)
+    b = SnapshotTable(str(tmp_path / "b"))
+    b.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=n_buckets)
+    return a, b
+
+
+def _state(spark, t, cols=("conv_id", "turn_idx", "text", "ts", "lsn")):
+    return {tuple(r) for r in t.read(spark).select(*cols).collect()}
+
+
+def test_cascade_insert_update_delete_converges(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    apply_batch(spark, a, _mk(spark, [
+        _ev(1, "c1", 1, "one", 1), _ev(2, "c2", 1, "two", 1),
+        _ev(3, "c3", 1, "three", 1),
+    ]), 0)
+    cascade_epoch(spark, a, b, 0, epoch=0)
+    assert _state(spark, b) == _state(spark, a)
+    # update c1, delete c2, insert c4
+    apply_batch(spark, a, _mk(spark, [
+        _ev(4, "c1", 1, "one-v2", 2, op=S.OP_UPSERT),
+        _ev(5, "c2", 1, None, 2, op=S.OP_DELETE),
+        _ev(6, "c4", 1, "four", 2),
+    ]), 1)
+    v1 = 1  # version after first cascade's source epoch
+    cascade_epoch(spark, a, b, v1, epoch=1)
+    got = _state(spark, b)
+    assert got == _state(spark, a)
+    assert not any(r[0] == "c2" for r in got)  # tombstone defeated the row
+
+
+def test_cascade_delete_tombstone_loses_to_later_winner(spark, tmp_path):
+    """The +1µs tombstone must NOT outrank a genuine later re-insert of
+    the same key arriving in a later hop."""
+    a, b = _pair(spark, tmp_path)
+    apply_batch(spark, a, _mk(spark, [_ev(1, "c1", 1, "v1", 1)]), 0)
+    cascade_epoch(spark, a, b, 0, epoch=0)
+    apply_batch(spark, a, _mk(spark, [_ev(2, "c1", 1, None, 3, op=S.OP_DELETE)]), 1)
+    cascade_epoch(spark, a, b, 1, epoch=1)
+    assert _state(spark, b) == set()
+    apply_batch(spark, a, _mk(spark, [_ev(3, "c1", 1, "v2", 5, op=S.OP_UPSERT)]), 2)
+    cascade_epoch(spark, a, b, 2, epoch=2)
+    assert _state(spark, b) == _state(spark, a)
+    assert any(r[2] == "v2" for r in _state(spark, b))
+
+
+def test_cascade_replays_schema_evolution(spark, tmp_path):
+    """ADD + RENAME + WIDEN on the source over a hop must be synthesized
+    onto the target from the manifest diff, and the evolved column
+    values must travel (extra bag for adds, physical slot for renames)."""
+    a, b = _pair(spark, tmp_path)
+    apply_batch(spark, a, _mk(spark, [
+        _ev(1, "c1", 1, "one", 1, tool="srch"),
+    ]), 0)
+    cascade_epoch(spark, a, b, 0, epoch=0)
+    apply_batch(spark, a, _mk(spark, [
+        _ev(2, None, None, None, 2, op=S.OP_ADD_COLUMN,
+            ddl_arg='{"column":"score","type":"int"}'),
+        _ev(3, None, None, None, 2, op=S.OP_RENAME_COLUMN,
+            ddl_arg='{"from":"tool","to":"tool_name"}'),
+        _ev(4, None, None, None, 2, op=S.OP_WIDEN_COLUMN,
+            ddl_arg='{"column":"turn_idx","type":"bigint"}'),
+        _ev(5, "c2", 1, "two", 2, op=S.OP_UPSERT, tool="calc",
+            extra={"score": "7"}),
+    ]), 1)
+    cascade_epoch(spark, a, b, 1, epoch=1)
+    cols = ("conv_id", "turn_idx", "text", "tool_name", "score", "lsn")
+    sa = {tuple(r) for r in a.read(spark).select(*cols).collect()}
+    sb = {tuple(r) for r in b.read(spark).select(*cols).collect()}
+    assert sb == sa
+    assert ("c2", 1, "two", "calc", 7, 5) in sb
+    # pre-rename row's tool value must surface under the NEW name on B too
+    assert ("c1", 1, "one", "srch", None, 1) in sb
+    # widen replayed: target's logical type promoted
+    bt = dict((b.current().logical_name(n), t) for n, t in b.current().columns)
+    assert bt["turn_idx"] == "bigint"
+
+
+def test_cascade_epoch_gate_is_idempotent(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    apply_batch(spark, a, _mk(spark, [_ev(1, "c1", 1, "x", 1)]), 0)
+    r1 = cascade_epoch(spark, a, b, 0)
+    assert not r1.get("skipped")
+    r2 = cascade_epoch(spark, a, b, 0)
+    assert r2.get("skipped")
+    assert _state(spark, b) == _state(spark, a)
+
+
+def test_cascade_until_current_multi_hop(spark, tmp_path):
+    a, b = _pair(spark, tmp_path)
+    for i in range(4):
+        apply_batch(spark, a, _mk(spark, [
+            _ev(10 * i + j, f"c{i}_{j}", 1, f"t{i}{j}", i + 1)
+            for j in range(1, 4)
+        ]), i)
+    hops = cascade_until_current(spark, a, b, 0, hop_versions=1)
+    assert len(hops) == 4
+    assert _state(spark, b) == _state(spark, a)
+    # already caught up: no further hops
+    assert cascade_until_current(spark, a, b, a.current().version) == []
+
+
+def test_cascade_from_mor_source(spark, tmp_path):
+    """changes() over a merge-on-read source feeds the cascade the same
+    net diff; the target (CoW) still converges."""
+    a = SnapshotTable(str(tmp_path / "a"))
+    a.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4, write_mode="mor")
+    b = SnapshotTable(str(tmp_path / "b"))
+    b.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    apply_batch(spark, a, _mk(spark, [
+        _ev(1, "c1", 1, "x", 1), _ev(2, "c2", 1, "y", 1),
+    ]), 0)
+    cascade_epoch(spark, a, b, 0, epoch=0)
+    apply_batch(spark, a, _mk(spark, [
+        _ev(3, "c1", 1, "x2", 2, op=S.OP_UPSERT),
+        _ev(4, "c2", 1, None, 2, op=S.OP_DELETE),
+    ]), 1)
+    cascade_epoch(spark, a, b, 1, epoch=1)
+    assert _state(spark, b) == _state(spark, a)
+
+
+def test_changes_to_ops_shapes(spark, tmp_path):
+    a = SnapshotTable(str(tmp_path / "a"))
+    a.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    apply_batch(spark, a, _mk(spark, [_ev(1, "c1", 1, "x", 1)]), 0)
+    apply_batch(spark, a, _mk(spark, [
+        _ev(2, "c1", 1, None, 2, op=S.OP_DELETE),
+        _ev(3, "c2", 1, "y", 2),
+    ]), 1)
+    ops = changes_to_ops(a.changes(spark, 1)).collect()
+    by_op = {r["op"]: r for r in ops}
+    assert set(by_op) == {S.OP_DELETE, S.OP_UPSERT}
+    d = by_op[S.OP_DELETE]
+    assert d["conv_id"] == "c1" and d["text"] is None
+    assert d["ts"].microsecond == 1  # +1µs tombstone bump
+    u = by_op[S.OP_UPSERT]
+    assert (u["conv_id"], u["text"], u["lsn"]) == ("c2", "y", 3)
