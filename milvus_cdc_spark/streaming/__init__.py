@@ -1,3 +1,14 @@
+from milvus_cdc_spark.streaming.cascade import (
+    cascade_epoch,
+    cascade_until_current,
+    changes_to_ops,
+)
 from milvus_cdc_spark.streaming.engine import CdcTask, run_until_drained
 
-__all__ = ["CdcTask", "run_until_drained"]
+__all__ = [
+    "CdcTask",
+    "run_until_drained",
+    "cascade_epoch",
+    "cascade_until_current",
+    "changes_to_ops",
+]

@@ -1,7 +1,9 @@
 """Task CLI — create / drain / tail / status / pause / resume / delete /
-list / position / compact / vacuum / convert / bootstrap, packaged for
-spark-submit. Maintenance verbs (compact / vacuum / convert) cover every
-table of a task — single-table and multi-collection trees alike.
+list / position / compact / vacuum / convert / bootstrap / cascade,
+packaged for spark-submit. Maintenance verbs (compact / vacuum / convert)
+cover every table of a task — single-table and multi-collection trees
+alike; ``cascade`` replicates one SnapshotTable into another through its
+changes() diff (second-level tail, self-positioning).
 
 The analogue of the reference's HTTP task API — all eight task verbs
 (create/delete/pause/resume/get/getPosition/list/maintenance,
@@ -142,7 +144,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "create", "drain", "status", "tail", "pause", "resume",
             "delete", "list", "position", "compact", "vacuum", "bootstrap",
-            "convert",
+            "convert", "cascade",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -166,6 +168,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="fail-protect: failures per window before Paused")
     p.add_argument("--fail-window-sec", type=float, default=60.0)
     p.add_argument("--snapshot", help="bootstrap: parquet dir of the initial full load")
+    p.add_argument("--src-table", help="cascade: source SnapshotTable root")
+    p.add_argument("--from-version", type=int, default=None,
+                   help="cascade: source version to diff from (default: "
+                        "self-position from the target's applied epochs)")
+    p.add_argument("--hop-versions", type=int, default=None,
+                   help="cascade: max source-version span per hop "
+                        "(default: one hop for the whole span)")
     p.add_argument("--write-mode", choices=["cow", "mor"], default="cow",
                    help="table write mode at create: copy-on-write MERGE "
                         "(resolution-free reads) or merge-on-read deltas "
@@ -210,6 +219,45 @@ def main(argv: list[str] | None = None) -> int:
     if a.command in ("compact", "convert"):
         spark = get_spark("milvus_cdc_spark_cli", master=a.master)
         print(json.dumps(_maintenance_roots(a, p, a.command, spark=spark)))
+        return 0
+
+    if a.command == "cascade":
+        # second-level tail: replicate one SnapshotTable into another via
+        # its changes() diff (streaming/cascade.py) — the reference's
+        # source→target topology as a CLI verb. Self-positions: cascade
+        # hops commit under the SOURCE version as the target epoch, so
+        # the max applied epoch IS the last replicated source version.
+        if not (a.src_table and a.table):
+            p.error("'cascade' needs --src-table and --table")
+        from milvus_cdc_spark.plans.manifest import SnapshotTable
+        from milvus_cdc_spark.streaming.cascade import cascade_until_current
+
+        spark = get_spark("milvus_cdc_spark_cli", master=a.master)
+        src = SnapshotTable(a.src_table)
+        dst = SnapshotTable(a.table)
+        if not dst.exists():
+            sm = src.current()
+            dst.create(
+                [(sm.logical_name(n), t) for n, t in sm.columns],
+                n_buckets=sm.n_buckets,
+                write_mode=a.write_mode,
+            )
+        from_v = a.from_version
+        if from_v is None:
+            eps = [int(e) for e in dst.current().epochs if int(e) >= 0]
+            from_v = max(eps) if eps else 0
+        hops = cascade_until_current(
+            spark, src, dst, from_v,
+            hop_versions=a.hop_versions, salt_partitions=a.salt,
+        )
+        print(json.dumps({
+            "src": a.src_table, "table": a.table, "from_version": from_v,
+            "hops": [
+                {k: h.get(k) for k in ("from_version", "to_version", "skipped")}
+                for h in hops
+            ],
+            "caught_up_to": src.current().version,
+        }))
         return 0
 
     if a.command == "bootstrap":

@@ -154,6 +154,43 @@ def test_cascade_from_mor_source(spark, tmp_path):
     assert _state(spark, b) == _state(spark, a)
 
 
+def test_cli_cascade_self_positions(spark, tmp_path, capsys):
+    """CLI verb: first invocation creates the target (source's logical
+    schema) and backfills from version 0; a second invocation after more
+    source epochs self-positions from the target's applied epochs and
+    replicates only the new span; a third is a no-op."""
+    import json as _json
+
+    from milvus_cdc_spark.streaming.cli import main as cli_main
+
+    a = SnapshotTable(str(tmp_path / "src"))
+    a.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    apply_batch(spark, a, _mk(spark, [
+        _ev(1, "c1", 1, "x", 1), _ev(2, "c2", 1, "y", 1),
+    ]), 0)
+    dst_root = str(tmp_path / "dst")
+    args = ["cascade", "--src-table", a.root, "--table", dst_root]
+    assert cli_main(args) == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["from_version"] == 0 and len(out1["hops"]) == 1
+
+    apply_batch(spark, a, _mk(spark, [
+        _ev(3, "c1", 1, "x2", 2, op=S.OP_UPSERT),
+        _ev(4, "c2", 1, None, 2, op=S.OP_DELETE),
+    ]), 1)
+    assert cli_main(args) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["from_version"] == out1["caught_up_to"]
+    assert len(out2["hops"]) == 1
+
+    b = SnapshotTable(dst_root)
+    assert _state(spark, b) == _state(spark, a)
+
+    assert cli_main(args) == 0
+    out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["hops"] == []
+
+
 def test_changes_to_ops_shapes(spark, tmp_path):
     a = SnapshotTable(str(tmp_path / "a"))
     a.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
