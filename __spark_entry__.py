@@ -729,6 +729,289 @@ def _q_doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def _q_doc_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe: the END-TO-END training-data pipeline — quality gate
+    → exact-dedup keeper → token-window chunking — maintained
+    incrementally over the CDC table via ``changes()``
+    (operators/pipeline.py). Bootstrap BOTH stores (chunk store + dedup
+    signature store) from the first third of the log, advance each
+    through TWO incremental rounds fed by the SAME quality-gated diff
+    (quality_gate_diff rewrites gate-crossing updates as deletes), then
+    emit training shards as the join of the two stores
+    (training_shards). Only changed rows are ever scored / fingerprinted
+    / chunked; a keeper flip on an untouched document flips a join flag,
+    never re-chunks. The oracle pins the invariant: bootstrap + N rounds
+    ≡ one full recompute (filter → dedup → chunk) over the final
+    snapshot. Corpus text carries a parity-varying stopword prefix so
+    updates genuinely cross the gate (score 450 vs 250 milli, gate 300)
+    and 546 text variants so real dup groups form."""
+    from milvus_cdc_spark.operators.dedup import (
+        dedup_exact_incremental,
+        dedup_store,
+    )
+    from milvus_cdc_spark.operators.pipeline import (
+        quality_gate_diff,
+        shard_store,
+        shards_incremental,
+        training_shards,
+    )
+
+    log = _derive_changelog(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    step = hi // 3 + 1
+    root = _probe_table_root(sf_dir, "pipeline_incr")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+
+    GATE, WIN, STRIDE = 300, 3, 2
+
+    def corpus(df, *extra):
+        # even-lsn docs open with a stopword ('the' → 450 milli), odd with
+        # junk ('zz' → 250): updates flip quality across the 300 gate as
+        # last-writer lsn parity changes; 2*13*7*3 = 546 variants
+        return df.select(
+            *extra,
+            F.concat(
+                "conv_id", F.lit("#"), F.col("turn_idx").cast("string")
+            ).alias("doc_key"),
+            F.concat(
+                F.when(
+                    F.pmod(F.col("lsn"), F.lit(2)) == 0, F.lit("the")
+                ).otherwise(F.lit("zz")),
+                F.lit(" x"), F.pmod(F.col("lsn"), F.lit(13)).cast("string"),
+                F.lit(" and y"), F.pmod(F.col("lsn"), F.lit(7)).cast("string"),
+                F.lit(" z"), F.pmod(F.col("lsn"), F.lit(3)).cast("string"),
+            ).alias("text"),
+        )
+
+    apply_batch(spark, table, log.filter(F.col("lsn") < step), epoch=0)
+    boot = corpus(table.read(spark)).filter(
+        TXT.quality_score_milli(F.col("text")) >= GATE
+    )
+    store = dedup_store(boot)
+    shards = shard_store(boot, window=WIN, stride=STRIDE)
+    for i in (1, 2):
+        v_prev = table.current().version
+        apply_batch(
+            spark,
+            table,
+            log.filter(
+                (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+            ),
+            epoch=i,
+        )
+        gated = quality_gate_diff(
+            corpus(table.changes(spark, v_prev), "change_type"),
+            min_score_milli=GATE,
+        )
+        store = dedup_exact_incremental(store, gated)
+        shards = shards_incremental(shards, gated, window=WIN, stride=STRIDE)
+    return training_shards(shards, store)
+
+
+_VEC_DIM = 8  # probe vector dimensionality (reference uses dim=128; 8 keeps
+# the oracle SQL readable — the engine path is dimension-blind)
+
+
+def _q_emb_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe: incremental VECTOR near-dup over a CDC table that
+    carries FLOAT_VECTOR payloads — the milvus-shaped loop closed
+    end-to-end: the changelog's dynamic bag carries JSON embeddings, the
+    table is created WITH an `array<float>` column (manifest vector
+    support), ``changes()`` emits the moved rows WITH their stored
+    vectors, and ``embedding_neardup_incremental`` re-buckets only those
+    (operators/dedup.py — candidates from a broadcast bucket join, store
+    scanned map-side, never shuffled). Bootstrap store+pairs from the
+    first third of the log, advance through TWO incremental rounds. The
+    oracle pins EXACT equality with one full-corpus
+    ``embedding_neardup_lsh_pairs`` recomputed over the final snapshot —
+    bucket ids and cosine are pure functions of the vectors. Vectors
+    derive from class lsn%41 (signed dim-8), so real duplicate groups
+    form and update/delete genuinely retire pairs."""
+    from milvus_cdc_spark.operators.dedup import (
+        embedding_neardup_incremental,
+        embedding_neardup_lsh_pairs,
+        embedding_store,
+    )
+
+    log = _derive_changelog(spark, sf_dir)
+    emb_json = F.to_json(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_VEC_DIM)),
+            lambda i: (
+                F.pmod(F.pmod(F.col("lsn"), F.lit(41)) * (i + F.lit(7)), F.lit(23))
+                - F.lit(11)
+            ).cast("float"),
+        )
+    )
+    log = log.withColumn(
+        "extra",
+        F.when(
+            F.col("op") != S.OP_DELETE,
+            F.create_map(F.lit("embedding"), emb_json),
+        ),
+    )
+    root = _probe_table_root(sf_dir, "emb_incr")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(
+        S.TRANSCRIPTS_BASE_COLUMNS + [("embedding", "array<float>")],
+        n_buckets=8, overwrite=True,
+    )
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    step = hi // 3 + 1
+    TH = 950000
+
+    def corpus(df, *extra):
+        return df.select(
+            *extra,
+            F.concat(
+                "conv_id", F.lit("#"), F.col("turn_idx").cast("string")
+            ).alias("doc_key"),
+            "embedding",
+        )
+
+    apply_batch(spark, table, log.filter(F.col("lsn") < step), epoch=0)
+    boot = corpus(table.read(spark))
+    store = embedding_store(boot, id_col="doc_key", vec_col="embedding")
+    pairs = embedding_neardup_lsh_pairs(
+        boot, threshold_micro=TH, n_planes=4, n_tables=2, dim=_VEC_DIM,
+        id_col="doc_key", vec_col="embedding",
+    )
+    for i in (1, 2):
+        v_prev = table.current().version
+        apply_batch(
+            spark,
+            table,
+            log.filter(
+                (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+            ),
+            epoch=i,
+        )
+        store, pairs = embedding_neardup_incremental(
+            store, pairs, corpus(table.changes(spark, v_prev), "change_type"),
+            threshold_micro=TH, n_planes=4, n_tables=2, dim=_VEC_DIM,
+        )
+    return pairs
+
+
+# full recompute (LSH bucket candidates → exact cosine) over the FINAL
+# snapshot's derived vectors — the invariant emb_neardup_incremental's
+# bootstrap + N changes()-fed rounds must land on exactly
+def _oracle_emb_incremental() -> str:
+    vec = (
+        f"list_transform(range(1, {_VEC_DIM + 1}),"
+        " i -> CAST(((lsn % 41) * (i + 7)) % 23 - 11 AS FLOAT))"
+    )
+    return f"""
+WITH log AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log),
+state AS (SELECT conv_id, turn_idx, lsn FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+e AS (SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS vec_id,
+             {vec} AS embedding
+      FROM state),
+b AS (SELECT vec_id, 0 AS tab, {_sql_bucket('embedding', 4, 0, dim=_VEC_DIM)} AS bucket FROM e
+      UNION ALL
+      SELECT vec_id, 1 AS tab, {_sql_bucket('embedding', 4, 4, dim=_VEC_DIM)} AS bucket FROM e),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b2.vec_id AS doc_b
+  FROM b a JOIN b b2
+    ON a.tab = b2.tab AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT doc_a, doc_b, cosine_micro FROM (
+  SELECT doc_a, doc_b,
+         {_sql_cos_micro('ea.embedding', 'eb.embedding')} AS cosine_micro
+  FROM cand
+  JOIN e ea ON ea.vec_id = doc_a
+  JOIN e eb ON eb.vec_id = doc_b)
+WHERE cosine_micro >= 950000"""
+
+
+def _q_cdc_vector_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for FLOAT_VECTOR replication — the reference's core
+    payload type (its e2e schema is INT64/FLOAT/VARCHAR/FLOAT_VECTOR(128),
+    reference tests/base/checker.py:17-25; delete-verify over 100k real
+    vectors, tests/scripts/verify_delete.py:77-107). Each changelog event
+    carries a deterministic dim-8 embedding (element i = (lsn*i) % 97) as
+    JSON in the dynamic bag. Epoch 0 applies BEFORE the table has the
+    column (vectors ride the bag); ADD_COLUMN lands with epoch 1, so the
+    final read must recover epoch-0 winners' vectors from the bag
+    (manifest.bag_decode) and epoch-1 winners' from the materialized
+    parquet list column — one code path per era, same result. Output
+    integrity scalars (dim / weighted sum / head element) are computed
+    FROM the stored array, which the oracle mirrors from pure lsn
+    arithmetic: any corruption in JSON encode → bag decode → merge carry
+    → list-column write → logical read breaks the hash."""
+    log = _derive_changelog(spark, sf_dir)
+    emb_json = F.to_json(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_VEC_DIM)),
+            lambda i: F.pmod(F.col("lsn") * i, F.lit(97)).cast("float"),
+        )
+    )
+    log = log.withColumn(
+        "extra",
+        F.when(
+            F.col("op") != S.OP_DELETE,
+            F.create_map(F.lit("embedding"), emb_json),
+        ),
+    )
+    root = _probe_table_root(sf_dir, "vector_field")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    apply_batch(spark, table, log.filter(F.col("lsn") <= mid), epoch=0)
+    from datetime import datetime as _dt
+
+    add = spark.createDataFrame(
+        [(
+            hi + 1, _dt(1970, 1, 1), 0, S.OP_ADD_COLUMN, None, None, None,
+            None, None, '{"column": "embedding", "type": "array<float>"}',
+            None,
+        )],
+        S.CHANGELOG_SCHEMA,
+    )
+    apply_batch(
+        spark, table,
+        log.filter(F.col("lsn") > mid).unionByName(add), epoch=1,
+    )
+    v = F.col("embedding")
+    weighted = F.aggregate(
+        F.zip_with(
+            v, F.sequence(F.lit(1), F.size(v)), lambda x, i: x * i
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return table.read(spark).select(
+        "conv_id", "turn_idx", "lsn",
+        F.size(v).alias("vec_dim"),
+        weighted.cast("bigint").alias("vec_wsum"),
+        F.element_at(v, 1).cast("bigint").alias("vec_head"),
+    )
+
+
+def _oracle_vector_field() -> str:
+    wsum = " + ".join(f"{i} * ((lsn * {i}) % 97)" for i in range(1, _VEC_DIM + 1))
+    return f"""
+WITH log AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log)
+SELECT conv_id, turn_idx, lsn,
+       {_VEC_DIM} AS vec_dim,
+       CAST({wsum} AS BIGINT) AS vec_wsum,
+       CAST((lsn * 1) % 97 AS BIGINT) AS vec_head
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'"""
+
+
 _ORACLE_DEDUP_INCREMENTAL = f"""
 WITH log AS ({_DERIVE_SQL}),
 ranked AS (
@@ -847,6 +1130,53 @@ def _sql_stop_count(words: list[str], toks: str = "toks") -> str:
     return f"len(list_filter({toks}, x -> list_contains({lst}, x)))"
 
 
+# full recompute (quality filter → exact-dedup keeper → 3-token/stride-2
+# chunks) over the FINAL snapshot — the invariant doc_pipeline_incremental's
+# bootstrap + N changes()-fed rounds must land on exactly. Quality formula
+# mirrors functions/text.py::quality_score_milli (and the hash-green
+# doc_quality_score fragment); chunk arithmetic mirrors the doc_chunk one.
+def _oracle_pipeline_incremental() -> str:
+    sw_en = _sql_stop_count(TXT.STOPWORDS["en"])
+    return f"""
+WITH log AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log),
+state AS (SELECT conv_id, turn_idx, lsn FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+corpus AS (SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_key,
+                  (CASE WHEN lsn % 2 = 0 THEN 'the' ELSE 'zz' END) ||
+                  ' x' || CAST(lsn % 13 AS VARCHAR) ||
+                  ' and y' || CAST(lsn % 7 AS VARCHAR) ||
+                  ' z' || CAST(lsn % 3 AS VARCHAR) AS text
+           FROM state),
+t AS (SELECT doc_key, text, {_SQL_TOKS} AS toks FROM corpus),
+q AS (SELECT doc_key, text, toks FROM t
+      WHERE (CASE WHEN len(toks) > 0
+                  THEN CAST(FLOOR({sw_en} * 1000.0 / len(toks)) AS BIGINT)
+                  ELSE 0 END)
+            + LEAST(len(toks), 50) * 10
+            - (length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g'))) * 5
+            >= 300),
+fps AS (SELECT doc_key, toks, md5(text) AS fp FROM q),
+g AS (SELECT fp, MIN(doc_key) AS keeper FROM fps GROUP BY fp),
+k AS (SELECT f.doc_key, f.toks, len(f.toks) AS n
+      FROM fps f JOIN g ON f.fp = g.fp AND f.doc_key = g.keeper
+      WHERE len(f.toks) > 0),
+c AS (SELECT doc_key, toks, n,
+             unnest(range(0, CASE WHEN n > 3
+                 THEN CAST(ceil((n - 3) / 2.0) AS BIGINT) + 1
+                 ELSE 1 END)) AS chunk_idx
+      FROM k)
+SELECT doc_key, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(list_slice(toks, chunk_idx*2 + 1, chunk_idx*2 + 3),
+                       ' ') AS chunk_text,
+       CAST(LEAST(3, n - chunk_idx*2) AS INT) AS n_tokens
+FROM c"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -858,6 +1188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_table_changes"] = _q_cdc_table_changes
     q["doc_dedup_incremental"] = _q_doc_dedup_incremental
     q["doc_minhash_incremental"] = _q_doc_minhash_incremental
+    q["doc_pipeline_incremental"] = _q_doc_pipeline_incremental
+    q["cdc_vector_field"] = _q_cdc_vector_field
+    q["emb_neardup_incremental"] = _q_emb_neardup_incremental
     q["cdc_mor_final_state"] = _q_cdc_mor_final_state
     q["cdc_convert"] = _q_cdc_convert
     q["cdc_cascade"] = _q_cdc_cascade
@@ -1244,6 +1577,13 @@ def oracle_sql() -> dict[str, str]:
         # incremental store advance ≡ full recompute over the final state
         "doc_dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         "doc_minhash_incremental": _ORACLE_MINHASH_INCREMENTAL,
+        "doc_pipeline_incremental": _oracle_pipeline_incremental(),
+        # vector payload round-trip: integrity scalars from the STORED
+        # array must equal pure lsn arithmetic on the winning event
+        "cdc_vector_field": _oracle_vector_field(),
+        # incremental vector near-dup ≡ full LSH recompute over the final
+        # snapshot's vectors
+        "emb_neardup_incremental": _oracle_emb_incremental(),
         # merge-on-read must converge to the identical final state as the
         # CoW flagship — one oracle pins both write modes
         "cdc_mor_final_state": _ORACLE_FINAL_STATE,

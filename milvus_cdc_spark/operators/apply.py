@@ -473,7 +473,7 @@ def apply_batch(
     # sides cast to the widened type below so the epoch's files come out
     # wide; everything else (widen-before-add across batches) rides to the
     # commit as a pending widen (manifest.pending_widens)
-    from milvus_cdc_spark.plans.manifest import is_widening
+    from milvus_cdc_spark.plans.manifest import bag_decode, is_widening
 
     effective_widens = dict(m.pending_widens) | dict(new_widens)
     widen_applied = {
@@ -492,11 +492,12 @@ def apply_batch(
     # inside the single merge+write job below)
     dml = batch_df.filter(F.col("op").isin(*S.DML_OPS))
     for c in evolved_payload:
-        # cast to the DECLARED type: the manifest schema reads these files
-        # back with that type, so writing the raw string from the dynamic
-        # bag would wedge every subsequent scan of a typed added column
+        # decode to the DECLARED type: the manifest schema reads these
+        # files back with that type, so writing the raw string from the
+        # dynamic bag would wedge every subsequent scan of a typed added
+        # column (vector types JSON-parse — manifest.bag_decode)
         dml = dml.withColumn(
-            c, F.col("extra").getItem(c).cast(col_types.get(c, "string"))
+            c, bag_decode(F.col("extra").getItem(c), col_types.get(c, "string"))
         )
     for c, t in widen_applied.items():
         # widened BASE columns (e.g. turn_idx int→bigint) arrive from the
@@ -573,7 +574,8 @@ def apply_batch(
             target = target.withColumn(
                 c,
                 F.coalesce(
-                    F.col(c), F.col("extra").getItem(c).cast(col_types.get(c, "string"))
+                    F.col(c),
+                    bag_decode(F.col("extra").getItem(c), col_types.get(c, "string")),
                 ),
             )
         target = _strip_promoted(target, evolved_payload)
@@ -805,9 +807,18 @@ def bootstrap_table(
         )
     base = {"conv_id", "turn_idx", "ts", "part", "lsn", "role", "text", "tool"}
     extra_cols = sorted(c for c in cols if c not in base)
+    dtypes = dict(d.dtypes)
+
+    def _bag_encode(c: str):
+        # vector/array payloads ride the bag as JSON array text — the
+        # format manifest.bag_decode parses back; scalars cast to string
+        if dtypes.get(c, "").startswith(("array", "map", "struct")):
+            return F.to_json(F.col(c))
+        return F.col(c).cast("string")
+
     extra = (
         F.create_map(
-            *[x for c in extra_cols for x in (F.lit(c), F.col(c).cast("string"))]
+            *[x for c in extra_cols for x in (F.lit(c), _bag_encode(c))]
         )
         if extra_cols
         else F.lit(None).cast("map<string,string>")

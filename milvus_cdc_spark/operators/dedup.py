@@ -593,6 +593,121 @@ def minhash_lsh_incremental(
     return new_store, new_pairs
 
 
+def embedding_store(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bootstrap an embedding near-dup store: the (doc_key, v) projection
+    of the initial corpus. Run ONCE; afterwards
+    :func:`embedding_neardup_incremental` advances it by CDC diffs.
+    The store carries the vectors themselves (like :func:`minhash_store`
+    carries shingle sets) because exact-cosine verification of future
+    candidates needs the OLD side's vector — keeping it is what makes
+    every later round cost ∝ |changes|, never a corpus re-read."""
+    return df.select(
+        F.col(id_col).alias("doc_key"), F.col(vec_col).alias("v")
+    )
+
+
+def embedding_neardup_incremental(
+    store: DataFrame,
+    pairs: DataFrame,
+    changes: DataFrame,
+    threshold_micro: int = 950000,
+    n_planes: int = 4,
+    n_tables: int = 2,
+    dim: int = 64,
+    key_col: str = "doc_key",
+    vec_col: str = "embedding",
+    scope: CacheScope | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Advance an embedding near-dup state by a CDC diff — the VECTOR
+    sibling of :func:`minhash_lsh_incremental`, closing the milvus-shaped
+    loop: the replicated table carries FLOAT_VECTOR payloads
+    (manifest `array<float>` columns), ``SnapshotTable.changes()`` emits
+    the rows that moved, and only those vectors are ever re-bucketed.
+    Candidates = the store's sign-random-projection bucket rows ⋈
+    broadcast(fresh bucket rows) per hash table — the corpus side is
+    SCANNED map-side, never shuffled; candidates verify by exact cosine;
+    pairs touching retired keys leave the set.
+
+    ``store``/``pairs``: from :func:`embedding_store` +
+    :func:`embedding_neardup_lsh_pairs` (bootstrap) or a previous round.
+    ``changes``: the changes() contract — ``change_type`` ∈
+    insert|update|delete, update rows carry the post-image, delete rows
+    the pre-image.
+
+    Returns ``(store', pairs')``. Invariant (oracle-checked by
+    ``emb_neardup_incremental``): bootstrap + N incremental rounds ≡ one
+    full-corpus :func:`embedding_neardup_lsh_pairs` over the final
+    snapshot — exact equality, because bucket ids and cosine are pure
+    functions of the two vectors and every pair has a round in which at
+    least one member is fresh."""
+    from milvus_cdc_spark.functions.vectors import cosine_milli
+    from milvus_cdc_spark.operators.similarity import _bucket_expr
+
+    scope = scope or default_scope()
+    retired = changes.filter(
+        F.col("change_type").isin("delete", "update")
+    ).select(F.col(key_col).alias("doc_key"))
+    fresh = embedding_store(
+        changes.filter(F.col("change_type").isin("insert", "update")),
+        key_col, vec_col,
+    )
+    new_store = scope.persist(
+        store.select("doc_key", "v")
+        .join(retired, "doc_key", "left_anti")
+        .unionByName(fresh)
+    )
+
+    def _banded_vec(d: DataFrame) -> DataFrame:
+        out = None
+        for t in range(n_tables):
+            tab = d.select(
+                F.col("doc_key").alias("id"),
+                F.lit(t).alias("tab"),
+                _bucket_expr("v", dim, n_planes, plane_offset=t * n_planes)
+                .alias("bucket"),
+            )
+            out = tab if out is None else out.unionByName(tab)
+        return out
+
+    sb, fb = _banded_vec(new_store), _banded_vec(fresh)
+    cand = (
+        sb.alias("s")
+        .join(
+            F.broadcast(fb.alias("f")),
+            (F.col("s.tab") == F.col("f.tab"))
+            & (F.col("s.bucket") == F.col("f.bucket"))
+            & (F.col("s.id") != F.col("f.id")),
+        )
+        .select(
+            F.least("s.id", "f.id").alias("doc_a"),
+            F.greatest("s.id", "f.id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    vs = new_store.select(F.col("doc_key").alias("id"), "v")
+    fresh_pairs = (
+        cand.join(vs.select(F.col("id").alias("doc_a"), F.col("v").alias("v_a")), "doc_a")
+        .join(vs.select(F.col("id").alias("doc_b"), F.col("v").alias("v_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            cosine_milli(F.col("v_a"), F.col("v_b")).alias("cosine_micro"),
+        )
+        .filter(F.col("cosine_micro") >= threshold_micro)
+    )
+    surviving = (
+        pairs.join(retired.withColumnRenamed("doc_key", "doc_a"), "doc_a", "left_anti")
+        .join(retired.withColumnRenamed("doc_key", "doc_b"), "doc_b", "left_anti")
+        .select("doc_a", "doc_b", "cosine_micro")
+    )
+    return new_store, surviving.unionByName(fresh_pairs).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     docs: DataFrame | None = None,

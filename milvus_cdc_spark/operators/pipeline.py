@@ -1,0 +1,128 @@
+"""Incremental training-shard pipeline over CDC diffs.
+
+The standard large-corpus preparation chain — quality gate → exact dedup
+→ token-window chunking — maintained INCREMENTALLY by
+``SnapshotTable.changes()`` diffs instead of recomputed per run. Each
+round's expensive text work (quality scoring + chunking) costs ∝ |diff|;
+the only full-store touch is the skinny keeper recompute that
+:func:`~milvus_cdc_spark.operators.dedup.dedup_exact_incremental`
+already owns (two thin columns, ~40 bytes/doc).
+
+The load-bearing design choice: the chunk store holds chunks for EVERY
+quality-passing document, keeper or not, and keeper-ness is applied at
+EMISSION time as a join against the dedup store's keep flags. A keeper
+flip on an untouched document (its duplicate was deleted elsewhere)
+therefore never re-chunks anything — its chunks were maintained all
+along; only the flag the join sees changes. The alternative (store only
+keepers' chunks) would need the flipped document's TEXT, forcing a
+corpus read on every flip.
+
+Reference analogue: none — milvus-cdc replicates collections, it does
+not transform them. This is the training-data-pipeline surface the
+build brief requires, composed from operators/dedup.py +
+functions/text.py, and the composition pattern `changes() → gate →
+advance stores → join stores` is the 100 TB shape: a day-over-day
+pipeline run reads the diff, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.functions import text as TXT
+
+
+def quality_gate_diff(
+    changes: DataFrame,
+    key_col: str = "doc_key",
+    text_col: str = "text",
+    min_score_milli: int = 0,
+) -> DataFrame:
+    """Re-express a ``changes()`` diff against the quality-FILTERED corpus.
+
+    Downstream incremental operators maintain exactly the corpus "docs
+    whose current text scores ≥ ``min_score_milli``", so the diff must be
+    rewritten in that corpus's terms:
+
+    - insert whose text fails the gate → the doc never enters the
+      filtered corpus: the row VANISHES from the diff;
+    - update whose post-image fails the gate → the doc LEAVES the
+      filtered corpus: the row becomes a ``delete`` (retire downstream);
+    - update whose post-image passes → stays an update (retire + fresh;
+      if the pre-image had failed the gate, the retire side is a no-op
+      anti-join miss — correct either way);
+    - delete → passes through unchanged (retiring an absent key is a
+      no-op).
+
+    Scoring runs only over the diff's post-images — cost ∝ |diff|.
+    """
+    ct = F.col("change_type")
+    passing = TXT.quality_score_milli(F.col(text_col)) >= F.lit(min_score_milli)
+    return (
+        changes.filter((ct == "delete") | (ct == "update") | passing)
+        .withColumn(
+            "change_type",
+            F.when((ct == "update") & ~passing, F.lit("delete")).otherwise(ct),
+        )
+    )
+
+
+def shard_store(
+    df: DataFrame,
+    key_col: str = "doc_key",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Bootstrap the chunk store: one row per (doc, token-window chunk)
+    over an (already quality-filtered) corpus — run ONCE, then advance
+    with :func:`shards_incremental`. Pure JVM higher-order functions
+    (functions/text.py::chunks); empty documents emit no rows."""
+    return (
+        df.select(
+            F.col(key_col).alias("doc_key"),
+            F.explode(TXT.chunks(F.col(text_col), window, stride)).alias("c"),
+        ).select(
+            "doc_key",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def shards_incremental(
+    shards: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_key",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Advance the chunk store by a (quality-gated) diff: deleted and
+    updated keys' chunks retire via one anti-join, fresh post-images are
+    chunked and appended — tokenization/chunking cost ∝ |diff|, never a
+    corpus re-chunk. Rounds chain (output is a valid ``shards`` input)."""
+    ct = F.col("change_type")
+    retired = changes.filter(ct.isin("delete", "update")).select(
+        F.col(key_col).alias("doc_key")
+    )
+    fresh = shard_store(
+        changes.filter(ct.isin("insert", "update")),
+        key_col, text_col, window, stride,
+    )
+    return shards.join(retired, "doc_key", "left_anti").unionByName(fresh)
+
+
+def training_shards(shards: DataFrame, dedup: DataFrame) -> DataFrame:
+    """Emit the training set: chunks of documents that are their exact-dup
+    group's keeper — the chunk store joined against the dedup store's
+    keep flags (one equi-join of two maintained tables; doc_key is unique
+    in the dedup store, so the inner join is a semi-join in effect).
+
+    ``dedup``: (doc_key, fp, keep, group_size) from
+    :func:`~milvus_cdc_spark.operators.dedup.dedup_exact_incremental`.
+    """
+    keepers = dedup.filter(F.col("keep")).select("doc_key")
+    return shards.join(keepers, "doc_key")

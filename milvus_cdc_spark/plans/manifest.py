@@ -73,7 +73,28 @@ _SPARK_TYPES = {
     "timestamp": T.TimestampType(),
     "double": T.DoubleType(),
     "boolean": T.BooleanType(),
+    # FLOAT_VECTOR field analogue — the reference replicates collections
+    # whose payload includes dense vectors (test schema INT64 / FLOAT /
+    # VARCHAR / FLOAT_VECTOR(dim=128), reference tests/base/checker.py:
+    # 17-25). Vectors are first-class column types: storable at create or
+    # via ADD_COLUMN, carried through merge/MOR-resolution untouched
+    # (parquet list columns), recovered from the dynamic bag via JSON
+    # parse (see bag_decode — a string→array cast is undefined in Spark).
+    "array<float>": T.ArrayType(T.FloatType()),
+    "array<double>": T.ArrayType(T.DoubleType()),
 }
+
+
+def bag_decode(c: "F.Column", typ: str) -> "F.Column":
+    """Decode a dynamic-bag (``map<string,string>``) value into a typed
+    column — THE one definition shared by every bag-recovery site (logical
+    read, changes() old side, apply-time promotion), so the encoding
+    contract cannot drift. Scalars cast; vector/array types parse the
+    stored JSON array text (``from_json``), the format
+    ``bootstrap_from_snapshot`` and any JSON-bag producer emit."""
+    if typ.startswith("array"):
+        return F.from_json(c, typ)
+    return c.cast(_SPARK_TYPES[typ])
 
 # Iceberg-spec type-promotion lattice ("Schema Evolution": int → long,
 # float → double — the lossless widenings). Promotion is METADATA-ONLY:
@@ -395,7 +416,7 @@ class SnapshotTable:
         def _logical(n: str, t: str):
             c = F.col(n)
             if n in m.added:
-                c = F.coalesce(c, F.col("extra").getItem(n).cast(_SPARK_TYPES[t]))
+                c = F.coalesce(c, bag_decode(F.col("extra").getItem(n), t))
             return c.alias(m.logical_name(n))
 
         return df.filter(F.coalesce(F.col("alive"), F.lit(True))).select(
@@ -474,7 +495,7 @@ class SnapshotTable:
                 return F.lit(None).cast(_SPARK_TYPES[t]).alias(new_m.logical_name(n))
             c = F.col(n)
             if n in new_m.added:
-                c = F.coalesce(c, F.col("extra").getItem(n).cast(_SPARK_TYPES[t]))
+                c = F.coalesce(c, bag_decode(F.col("extra").getItem(n), t))
             return c.cast(_SPARK_TYPES[t]).alias(new_m.logical_name(n))
 
         old_df = old_phys.select(*[_old_logical(n, t) for n, t in new_m.columns])

@@ -60,15 +60,21 @@ def changes_to_ops(
     direct = {d: c for c, d in dest.items() if d in S.PAYLOAD_COLUMNS}
     extra_cols = sorted(c for c in payload if dest[c] not in S.PAYLOAD_COLUMNS)
     is_del = F.col("change_type") == "delete"
+    dtypes = dict(changes.dtypes)
+
+    def _bag_encode(c: str):
+        # vector/array payloads (FLOAT_VECTOR columns) travel as JSON
+        # array text — the format manifest.bag_decode parses back on the
+        # target; scalars cast to string
+        if dtypes.get(c, "").startswith(("array", "map", "struct")):
+            return F.to_json(F.col(c))
+        return F.col(c).cast("string")
+
     extra = (
         F.when(
             ~is_del,
             F.create_map(
-                *[
-                    x
-                    for c in extra_cols
-                    for x in (F.lit(c), F.col(c).cast("string"))
-                ]
+                *[x for c in extra_cols for x in (F.lit(c), _bag_encode(c))]
             ),
         )
         if extra_cols

@@ -40,7 +40,11 @@ def _pair(spark, tmp_path, n_buckets=4):
 
 
 def _state(spark, t, cols=("conv_id", "turn_idx", "text", "ts", "lsn")):
-    return {tuple(r) for r in t.read(spark).select(*cols).collect()}
+    # array columns come back as Python lists — tuple-ize so rows hash
+    return {
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in t.read(spark).select(*cols).collect()
+    }
 
 
 def test_cascade_insert_update_delete_converges(spark, tmp_path):
@@ -207,3 +211,41 @@ def test_changes_to_ops_shapes(spark, tmp_path):
     assert d["ts"].microsecond == 1  # +1µs tombstone bump
     u = by_op[S.OP_UPSERT]
     assert (u["conv_id"], u["text"], u["lsn"]) == ("c2", "y", 3)
+
+
+def test_cascade_vector_column(spark, tmp_path):
+    """A FLOAT_VECTOR payload cascades: the source table carries an
+    `array<float>` column, the hop synthesizes ADD_COLUMN array<float> on
+    the target, and vector values travel the JSON bag (changes_to_ops
+    _bag_encode → manifest.bag_decode) — the milvus topology with the
+    milvus payload type."""
+    import json as _json
+
+    a = SnapshotTable(str(tmp_path / "a"))
+    a.create(S.TRANSCRIPTS_BASE_COLUMNS + [("embedding", "array<float>")],
+             n_buckets=4)
+    b = SnapshotTable(str(tmp_path / "b"))
+    b.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+
+    def vev(lsn, conv, text, sec, op="INSERT", vec=None):
+        extra = None if op == S.OP_DELETE else {
+            "embedding": _json.dumps(vec or [float(lsn), 2.0])}
+        return _ev(lsn, conv, 1, text, sec, op=op, extra=extra)
+
+    apply_batch(spark, a, _mk(spark, [
+        vev(1, "c1", "one", 1), vev(2, "c2", "two", 1),
+    ]), 0)
+    cascade_epoch(spark, a, b, 0, epoch=0)
+    cols = ("conv_id", "turn_idx", "text", "embedding")
+    assert _state(spark, b, cols) == _state(spark, a, cols)
+    assert dict(b.read(spark).dtypes)["embedding"] == "array<float>"
+    # update flips the vector; delete removes; both cascade
+    apply_batch(spark, a, _mk(spark, [
+        vev(10, "c1", "one-v2", 5, op=S.OP_UPSERT, vec=[9.0, 9.0]),
+        vev(11, "c2", None, 5, op=S.OP_DELETE),
+    ]), 1)
+    cascade_epoch(spark, a, b, 1, epoch=1)
+    got = _state(spark, b, cols)
+    assert got == _state(spark, a, cols)
+    assert got == {("c1", 1, "one-v2", (9.0, 9.0))} or got == {
+        ("c1", 1, "one-v2", [9.0, 9.0])}
