@@ -1012,6 +1012,252 @@ SELECT conv_id, turn_idx, lsn,
 FROM ranked WHERE rn = 1 AND op <> 'DELETE'"""
 
 
+def _q_cdc_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED probe: the reference's end-to-end user story — replicate a
+    vector collection, then SEARCH the replica. milvus-cdc exists so a
+    downstream Milvus can serve vector search over replicated data; the
+    reference's own e2e suite verifies sync by issuing search/query
+    against the TARGET collection (tests/testcases/
+    test_cdc_sync_requests.py — search after insert/upsert/delete sync).
+    Here: replication is the same engine path as cdc_vector_field (dim-8
+    vectors ride the dynamic bag for epoch 0, a typed ADD_COLUMN lands
+    with epoch 1, the read recovers both eras), then exact cosine top-5
+    (operators/similarity.brute_force_topk — broadcast query set, corpus
+    streamed once) of 3 deterministic query vectors over the REPLICATED
+    array column. The oracle recomputes every corpus vector from pure lsn
+    arithmetic and mirrors the scoring/ranking in SQL — one wrong float
+    anywhere in JSON encode → bag decode → merge carry → list-column
+    write → logical read → dot/norm breaks the hash. Rows with lsn ≡ 0
+    (mod 97) are excluded from the corpus on both sides (their derived
+    vector is all-zero → cosine undefined)."""
+    log = _derive_changelog(spark, sf_dir)
+    emb_json = F.to_json(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_VEC_DIM)),
+            lambda i: F.pmod(F.col("lsn") * i, F.lit(97)).cast("float"),
+        )
+    )
+    log = log.withColumn(
+        "extra",
+        F.when(
+            F.col("op") != S.OP_DELETE,
+            F.create_map(F.lit("embedding"), emb_json),
+        ),
+    )
+    root = _probe_table_root(sf_dir, "vector_search")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    apply_batch(spark, table, log.filter(F.col("lsn") <= mid), epoch=0)
+    from datetime import datetime as _dt
+
+    add = spark.createDataFrame(
+        [(
+            hi + 1, _dt(1970, 1, 1), 0, S.OP_ADD_COLUMN, None, None, None,
+            None, None, '{"column": "embedding", "type": "array<float>"}',
+            None,
+        )],
+        S.CHANGELOG_SCHEMA,
+    )
+    apply_batch(
+        spark, table,
+        log.filter(F.col("lsn") > mid).unionByName(add), epoch=1,
+    )
+    corpus = (
+        table.read(spark)
+        .filter(F.pmod(F.col("lsn"), F.lit(97)) != 0)
+        .select(F.col("lsn").alias("vec_id"), F.col("embedding"))
+    )
+    queries = spark.range(1, 4).select(
+        (-F.col("id")).cast("bigint").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_VEC_DIM)),
+            lambda i: F.pmod(F.col("id") * 17 + i * 13, F.lit(97)).cast("float"),
+        ).alias("embedding"),
+    )
+    return brute_force_topk(queries, corpus, k=5)
+
+
+def _oracle_vector_search() -> str:
+    d = _VEC_DIM
+    return f"""
+WITH log AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log),
+corpus AS (
+  SELECT lsn AS neighbor_id,
+         list_transform(range(1, {d + 1}), i -> ((lsn * i) % 97)::DOUBLE) AS cv
+  FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND lsn % 97 <> 0),
+q AS (
+  SELECT -j AS query_id,
+         list_transform(range(1, {d + 1}), i -> ((j * 17 + i * 13) % 97)::DOUBLE) AS qv
+  FROM unnest([1, 2, 3]) AS t(j)),
+scored AS (
+  SELECT query_id, neighbor_id,
+    CAST(FLOOR(
+      list_sum(list_transform(range(1, {d + 1}), i -> qv[i] * cv[i])) /
+      (sqrt(list_sum(list_transform(range(1, {d + 1}), i -> qv[i] * qv[i]))) *
+       sqrt(list_sum(list_transform(range(1, {d + 1}), i -> cv[i] * cv[i]))))
+      * 1e6) AS BIGINT) AS cosine_micro
+  FROM q, corpus)
+SELECT query_id, neighbor_id, rank, cosine_micro FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine_micro DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5"""
+
+
+def _q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe: a MAINTAINED IVF index over a CDC vector table — the
+    100 TB search path. Milvus fixes an index's centroids at build time
+    and maintains posting lists as segments arrive (the reference's e2e
+    suite creates IVF indexes on the TARGET before searching it); here
+    the analogue is centroids FROZEN from the bootstrap corpus
+    (operators/similarity.ivf_centroids, md5-order-stable sample), the
+    (doc_key, cell, v) index advanced by TWO ``changes()``-fed rounds at
+    cost ∝ |diff| (ivf_index_incremental — only moved vectors re-assign),
+    then searched via ivf_search (nprobe cells, equi-join candidates).
+    The oracle mirrors the ENTIRE pipeline in SQL from pure lsn
+    arithmetic — bootstrap split, centroid sample, final-corpus cell
+    assignment, probing, ranking — so a drifted incremental index (a
+    stale cell, a lost retirement) changes the candidate sets and breaks
+    the hash."""
+    from milvus_cdc_spark.operators.similarity import (
+        ivf_centroids, ivf_index, ivf_index_incremental, ivf_search,
+    )
+
+    log = _derive_changelog(spark, sf_dir)
+    emb_json = F.to_json(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_VEC_DIM)),
+            lambda i: (
+                F.pmod(F.pmod(F.col("lsn"), F.lit(41)) * (i + F.lit(7)), F.lit(23))
+                - F.lit(11)
+            ).cast("float"),
+        )
+    )
+    log = log.withColumn(
+        "extra",
+        F.when(
+            F.col("op") != S.OP_DELETE,
+            F.create_map(F.lit("embedding"), emb_json),
+        ),
+    )
+    root = _probe_table_root(sf_dir, "ivf_incr")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(
+        S.TRANSCRIPTS_BASE_COLUMNS + [("embedding", "array<float>")],
+        n_buckets=8, overwrite=True,
+    )
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    step = hi // 3 + 1
+
+    def corpus(df, *extra):
+        return df.select(
+            *extra,
+            F.concat(
+                "conv_id", F.lit("#"), F.col("turn_idx").cast("string")
+            ).alias("doc_key"),
+            "embedding",
+        )
+
+    apply_batch(spark, table, log.filter(F.col("lsn") < step), epoch=0)
+    boot = corpus(table.read(spark))
+    cent = ivf_centroids(boot, n_centroids=16, id_col="doc_key",
+                         vec_col="embedding").localCheckpoint()
+    index = ivf_index(boot, cent, id_col="doc_key", vec_col="embedding")
+    for i in (1, 2):
+        v_prev = table.current().version
+        apply_batch(
+            spark,
+            table,
+            log.filter(
+                (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+            ),
+            epoch=i,
+        )
+        index = ivf_index_incremental(
+            index, cent, corpus(table.changes(spark, v_prev), "change_type"),
+        )
+    queries = spark.range(1, 4).select(
+        F.concat(F.lit("q"), F.col("id")).alias("doc_key"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_VEC_DIM)),
+            lambda i: (
+                F.pmod(F.col("id") * (i + F.lit(7)), F.lit(23)) - F.lit(11)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    return ivf_search(index, cent, queries, k=5, nprobe=4,
+                      id_col="doc_key", vec_col="embedding")
+
+
+def _oracle_ann_ivf_incremental() -> str:
+    d = _VEC_DIM
+    vec = (
+        f"list_transform(range(1, {d + 1}),"
+        " i -> CAST(((lsn % 41) * (i + 7)) % 23 - 11 AS DOUBLE))"
+    )
+    return f"""
+WITH log AS ({_DERIVE_SQL}),
+step AS (SELECT MAX(lsn) // 3 + 1 AS s FROM log),
+boot_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log WHERE lsn < (SELECT s FROM step)),
+boot_e AS (
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS vec_id, {vec} AS embedding
+  FROM boot_ranked WHERE rn = 1 AND op <> 'DELETE'),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM boot_e
+  ORDER BY md5(vec_id), vec_id LIMIT 16),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log),
+e AS (
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS vec_id, {vec} AS embedding
+  FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos_micro('e.embedding', 'c.cvec')} DESC, c.cid
+           ) AS arn
+    FROM e, cent c) WHERE arn = 1),
+q AS (
+  SELECT 'q' || j AS query_id,
+         list_transform(range(1, {d + 1}),
+                        i -> CAST((j * (i + 7)) % 23 - 11 AS DOUBLE)) AS qv
+  FROM unnest([1, 2, 3]) AS t(j)),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cid AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_cos_micro('q.qv', 'c.cvec')} DESC, c.cid
+           ) AS prn
+    FROM q, cent c) WHERE prn <= 4),
+scored AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         {_sql_cos_micro('p.qv', 'a.embedding')} AS cosine_micro
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE p.query_id <> a.vec_id)
+SELECT query_id, neighbor_id, rank, cosine_micro FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine_micro DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5"""
+
+
 _ORACLE_DEDUP_INCREMENTAL = f"""
 WITH log AS ({_DERIVE_SQL}),
 ranked AS (
@@ -1190,6 +1436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_minhash_incremental"] = _q_doc_minhash_incremental
     q["doc_pipeline_incremental"] = _q_doc_pipeline_incremental
     q["cdc_vector_field"] = _q_cdc_vector_field
+    q["cdc_vector_search"] = _q_cdc_vector_search
+    q["ann_ivf_incremental"] = _q_ann_ivf_incremental
     q["emb_neardup_incremental"] = _q_emb_neardup_incremental
     q["cdc_mor_final_state"] = _q_cdc_mor_final_state
     q["cdc_convert"] = _q_cdc_convert
@@ -1581,6 +1829,8 @@ def oracle_sql() -> dict[str, str]:
         # vector payload round-trip: integrity scalars from the STORED
         # array must equal pure lsn arithmetic on the winning event
         "cdc_vector_field": _oracle_vector_field(),
+        "cdc_vector_search": _oracle_vector_search(),
+        "ann_ivf_incremental": _oracle_ann_ivf_incremental(),
         # incremental vector near-dup ≡ full LSH recompute over the final
         # snapshot's vectors
         "emb_neardup_incremental": _oracle_emb_incremental(),

@@ -193,3 +193,144 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained IVF index: the 100 TB search path. `ivf_topk` above rebuilds
+# its cell assignments per call — fine for one-shot analytics, wrong for a
+# corpus that a CDC task keeps changing. A real IVF index (Milvus IVF_FLAT
+# — the index type the reference's e2e suite creates on the target before
+# searching it, tests/base/client_base.py) fixes its centroids at build
+# time and maintains per-cell posting lists as rows arrive; rebuilds are
+# occasional maintenance, not per-query work. Mirrored here: centroids
+# FROZEN at bootstrap, the (vec_id, cell, v) index advanced per
+# `changes()` diff at cost ∝ |diff| (assignment touches only moved
+# vectors), searches probing nprobe cells via an equi-join against the
+# maintained index — never a corpus re-assignment.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Freeze an IVF centroid set: the md5-order-stable first
+    ``n_centroids`` corpus rows (same deterministic sample rule as
+    ``ivf_topk``, so the choice is SQL-mirrorable and independent of file
+    layout). Returns (cid, cvec) — small enough to broadcast always."""
+    return (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_centroids)
+    )
+
+
+def _assign_cells(
+    vecs: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Assign (doc_key, v) rows to their nearest centroid (broadcast
+    centroids, one map-side pass over the vectors — no shuffle of the
+    corpus side). Ties break toward the smaller cid."""
+    w = Window.partitionBy("doc_key").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        vecs.join(F.broadcast(centroids))
+        .select(
+            "doc_key", "v", "cid",
+            cosine_milli(F.col("v"), F.col("cvec")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_key", F.col("cid").alias("cell"), "v")
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bootstrap the maintained IVF index over an initial corpus:
+    (doc_key, cell, v). Run ONCE per centroid set; afterwards
+    :func:`ivf_index_incremental` advances it by CDC diffs."""
+    return _assign_cells(
+        corpus.select(F.col(id_col).alias("doc_key"), F.col(vec_col).alias("v")),
+        centroids,
+    )
+
+
+def ivf_index_incremental(
+    index: DataFrame,
+    centroids: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_key",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Advance a maintained IVF index by a ``changes()`` diff: deleted and
+    updated keys leave via one anti-join, fresh post-images are assigned
+    to their nearest (frozen) centroid — assignment cost ∝ |diff|, never
+    a corpus re-read. Rounds chain; the invariant (oracle-checked by
+    ``ann_ivf_incremental``) is bootstrap + N rounds ≡ a fresh
+    :func:`ivf_index` over the final corpus with the SAME centroids —
+    exact equality, because a cell id is a pure function of (vector,
+    centroid set) and the centroid set never moves between rebuilds."""
+    ct = F.col("change_type")
+    retired = changes.filter(ct.isin("delete", "update")).select(
+        F.col(key_col).alias("doc_key")
+    )
+    fresh = changes.filter(ct.isin("insert", "update")).select(
+        F.col(key_col).alias("doc_key"), F.col(vec_col).alias("v")
+    )
+    return (
+        index.join(retired, "doc_key", "left_anti")
+        .unionByName(_assign_cells(fresh, centroids))
+    )
+
+
+def ivf_search(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a maintained IVF index: per query, rank the (broadcast)
+    centroids, probe the ``nprobe`` nearest cells via an equi-join on the
+    index's cell column, exact-cosine rank within the candidates. Same
+    output contract and scoring as ``ivf_topk`` — (query_id, neighbor_id,
+    rank, cosine_micro), self-matches excluded, integer-deterministic."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        F.broadcast(q)
+        .join(F.broadcast(centroids))
+        .select(
+            "query_id", "qv", "cid",
+            cosine_milli(F.col("qv"), F.col("cvec")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+    scored = (
+        probes.join(index, "cell")
+        .filter(F.col("query_id") != F.col("doc_key"))
+        .select(
+            "query_id",
+            F.col("doc_key").alias("neighbor_id"),
+            cosine_milli(F.col("qv"), F.col("v")).alias("cosine_micro"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_micro")
+    )

@@ -200,3 +200,52 @@ def test_duplicate_clusters_matches_recursive_oracle(spark, docs):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
     want = sorted(map(tuple, con.sql(e.oracle_sql()["doc_dup_clusters"]).fetchall()))
     assert got == want
+
+
+def test_ivf_maintained_index_matches_full_rebuild(spark, embs):
+    """The maintained-IVF invariant: bootstrap over half the corpus +
+    incremental rounds (inserts, updates, deletes) lands on EXACTLY the
+    index a fresh ivf_index over the final corpus builds with the same
+    frozen centroids — and ivf_search over the maintained index equals
+    ivf_topk-style search over the rebuilt one."""
+    from milvus_cdc_spark.operators.similarity import (
+        ivf_centroids, ivf_index, ivf_index_incremental, ivf_search,
+    )
+
+    e = embs.select("vec_id", "embedding").filter(F.col("vec_id") < 400)
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    cent = ivf_centroids(half, n_centroids=8).localCheckpoint()
+    index = ivf_index(half, cent)
+
+    # round 1: insert the odd half
+    ins = e.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding", F.lit("insert").alias("change_type"))
+    index = ivf_index_incremental(index, cent, ins, key_col="vec_id")
+    # round 2: delete one stripe, update another (post-image = reversed id
+    # mapping inside the stripe so the vector genuinely changes)
+    dels = e.filter(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.col("embedding"), F.lit("delete").alias("change_type"))
+    upds = e.filter(F.col("vec_id") % 10 == 7).select(
+        "vec_id",
+        F.reverse(F.col("embedding")).alias("embedding"),
+        F.lit("update").alias("change_type"))
+    index = ivf_index_incremental(
+        index, cent, dels.unionByName(upds), key_col="vec_id")
+
+    final = (
+        e.filter(F.col("vec_id") % 10 != 3)
+        .withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 10 == 7, F.reverse(F.col("embedding")))
+            .otherwise(F.col("embedding")),
+        )
+    )
+    rebuilt = ivf_index(final, cent)
+    got = {(r["doc_key"], r["cell"]) for r in index.collect()}
+    want = {(r["doc_key"], r["cell"]) for r in rebuilt.collect()}
+    assert got == want and len(got) == final.count()
+
+    q = e.filter(F.col("vec_id") < 3)
+    s1 = ivf_search(index, cent, q, k=4, nprobe=3)
+    s2 = ivf_search(rebuilt, cent, q, k=4, nprobe=3)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))

@@ -205,3 +205,76 @@ def test_vector_bootstrap_from_snapshot(spark, tmp_path):
     assert st[("c2", 1)] == ("b", [3.0, 4.0])
     phys = t.read(spark, logical=False)
     assert dict(phys.dtypes)["embedding"] == "array<float>"
+
+
+def test_vector_streaming_drain_end_to_end(spark, tmp_path):
+    """Full STREAMING path with vector payloads: a generated changelog
+    whose DML rows carry a dim-8 embedding in the dynamic bag, plus an
+    ADD_COLUMN(embedding array<float>) DDL event landing MID-LOG, drained
+    by the streaming engine in multiple micro-batches. Winners applied
+    before the DDL recover their vectors from the bag; winners applied
+    after get the materialized list column — the final state must match
+    the sequential replay oracle exactly, vectors compared element-wise
+    (the oracle surfaces bag columns as the raw JSON text)."""
+    from milvus_cdc_spark.oracle import replay
+    from milvus_cdc_spark.sources import (
+        generate_changelog, read_changelog, write_changelog,
+    )
+    from milvus_cdc_spark.streaming.engine import run_until_drained
+
+    n = 2000
+    log_df = generate_changelog(
+        spark, n, n_parts=4, n_convs=30, turns_per_conv=10,
+        evolve=False, drops=False,
+    )
+    add = spark.createDataFrame(
+        [(n // 2, datetime(2024, 1, 1, 6, 0, 0), 0, S.OP_ADD_COLUMN, None,
+          None, None, None, None,
+          '{"column": "embedding", "type": "array<float>"}', None)],
+        S.CHANGELOG_SCHEMA,
+    )
+    # keep lsns unique: shift the DML half-way lsn out of the DDL's slot,
+    # THEN derive each row's embedding from its final lsn
+    log_df = log_df.withColumn(
+        "lsn",
+        F.when(F.col("lsn") >= n // 2, F.col("lsn") + 1).otherwise(F.col("lsn")),
+    )
+    emb_json = F.to_json(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.pmod(F.col("lsn") * i, F.lit(97)).cast("float"),
+        )
+    )
+    log_df = log_df.withColumn(
+        "extra",
+        F.when(F.col("op") != S.OP_DELETE,
+               F.create_map(F.lit("embedding"), emb_json)),
+    ).unionByName(add)
+    log = str(tmp_path / "log")
+    write_changelog(log_df, log, n_files=8)
+
+    task = run_until_drained(
+        spark, log, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, n_buckets=8,
+    )
+    assert len(task.table.current().epochs) >= 3  # genuinely multi-batch
+
+    final = task.table.read(spark)
+    assert dict(final.dtypes)["embedding"] == "array<float>"
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["embedding"])
+        for r in final.collect()
+    }
+    rows, _cols = replay(
+        [r.asDict() for r in read_changelog(spark, log).collect()]
+    )
+    want = {}
+    for r in rows:
+        emb = r.get("embedding")
+        want[(r["conv_id"], r["turn_idx"])] = (
+            r["text"], json.loads(emb) if emb is not None else None,
+        )
+    assert got == want
+    # every winner's vector is the pure function of its lsn
+    for r in final.collect():
+        assert r["embedding"] == [float((r["lsn"] * i) % 97) for i in range(1, 9)]
