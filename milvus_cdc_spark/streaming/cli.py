@@ -144,7 +144,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "create", "drain", "status", "tail", "pause", "resume",
             "delete", "list", "position", "compact", "vacuum", "bootstrap",
-            "convert", "cascade",
+            "convert", "cascade", "pipeline",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -183,6 +183,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="compact a table at the next epoch boundary once "
                         "any bucket exceeds this many files (MOR "
                         "housekeeping)")
+    p.add_argument("--store", help="pipeline: state directory (dedup + "
+                   "chunk stores and the version cursor)")
+    p.add_argument("--out", default=None,
+                   help="pipeline: also emit the training shards to this "
+                        "parquet dir")
+    p.add_argument("--min-score-milli", type=int, default=0,
+                   help="pipeline: quality-gate threshold")
+    p.add_argument("--window", type=int, default=64,
+                   help="pipeline: chunk token window")
+    p.add_argument("--stride", type=int, default=48,
+                   help="pipeline: chunk stride")
     a = p.parse_args(argv)
 
     # ---- registry / filesystem commands (no Spark session) --------------
@@ -219,6 +230,27 @@ def main(argv: list[str] | None = None) -> int:
     if a.command in ("compact", "convert"):
         spark = get_spark("milvus_cdc_spark_cli", master=a.master)
         print(json.dumps(_maintenance_roots(a, p, a.command, spark=spark)))
+        return 0
+
+    if a.command == "pipeline":
+        # one idempotent round of the incremental training-shard pipeline
+        # (operators/pipeline.py::run_pipeline_round): quality gate →
+        # exact-dedup keeper → token chunking advanced by the table's
+        # changes() since the cursor; stores + cursor persist under
+        # --store, shards optionally land at --out. Per-round cost ∝ the
+        # diff — the daily-run surface over a replicated table.
+        if not (a.table and a.store):
+            p.error("'pipeline' needs --table and --store")
+        from milvus_cdc_spark.operators.pipeline import run_pipeline_round
+        from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+        spark = get_spark("milvus_cdc_spark_cli", master=a.master)
+        res = run_pipeline_round(
+            spark, SnapshotTable(a.table), a.store,
+            min_score_milli=a.min_score_milli,
+            window=a.window, stride=a.stride, out_dir=a.out,
+        )
+        print(json.dumps(res))
         return 0
 
     if a.command == "cascade":

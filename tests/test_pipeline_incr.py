@@ -215,3 +215,105 @@ def test_pipeline_over_cdc_table_changes(spark, tmp_path):
         ("c3#1", "the and three"),
         ("c4#1", "the and four"),
     ]))
+
+
+def test_run_pipeline_round_persistent_rounds(spark, tmp_path):
+    """run_pipeline_round end-to-end: bootstrap round (full read), one
+    diff round, a no-op round (cursor == current), each committing
+    stores + cursor atomically — and the emitted shards always equal a
+    full recompute over the live corpus."""
+    import json as _json
+    import os
+
+    from milvus_cdc_spark.operators.pipeline import run_pipeline_round
+
+    def ev(lsn, conv, turn, text, sec, op="INSERT"):
+        role = "user" if op != S.OP_DELETE else None
+        return (lsn, datetime(2024, 1, 1, 0, 0, sec), 0, op, conv, turn,
+                role, text, None, None, None)
+
+    table = SnapshotTable(str(tmp_path / "t"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "shards")
+    os.makedirs(store)
+
+    apply_batch(spark, table, spark.createDataFrame([
+        ev(1, "c1", 1, "the and one two", 1),
+        ev(2, "c2", 1, "the and one two", 1),   # dup of c1#1
+        ev(3, "c3", 1, "zz junk", 1),           # below gate
+    ], S.CHANGELOG_SCHEMA), 0)
+
+    r0 = run_pipeline_round(
+        spark, table, store, min_score_milli=GATE, window=2, stride=1,
+        out_dir=out,
+    )
+    assert not r0["skipped"] and r0["from_version"] is None
+    assert _rows(spark.read.parquet(out)) == _rows(_full(spark, [
+        ("c1#1", "the and one two"),
+        ("c2#1", "the and one two"),
+    ], window=2, stride=1))
+
+    apply_batch(spark, table, spark.createDataFrame([
+        ev(4, "c1", 1, None, 2, S.OP_DELETE),             # keeper leaves
+        ev(5, "c3", 1, "the and three", 2, S.OP_UPSERT),  # crosses gate up
+        ev(6, "c4", 1, "the and four", 2),
+    ], S.CHANGELOG_SCHEMA), 1)
+
+    r1 = run_pipeline_round(
+        spark, table, store, min_score_milli=GATE, window=2, stride=1,
+        out_dir=out,
+    )
+    assert not r1["skipped"] and r1["from_version"] == r0["version"]
+    assert _rows(spark.read.parquet(out)) == _rows(_full(spark, [
+        ("c2#1", "the and one two"),
+        ("c3#1", "the and three"),
+        ("c4#1", "the and four"),
+    ], window=2, stride=1))
+    # superseded store version was retired; cursor points at the live one
+    vdirs = [d for d in os.listdir(store) if d.startswith("v")]
+    cur = _json.load(open(os.path.join(store, "cursor.json")))
+    assert vdirs == [cur["dir"]]
+
+    r2 = run_pipeline_round(spark, table, store, min_score_milli=GATE)
+    assert r2["skipped"] and r2["version"] == r1["version"]
+
+
+def test_pipeline_cli_verb(spark, tmp_path):
+    """CLI surface: `pipeline --table ... --store ... --out ...` runs one
+    round in a fresh process and reports the round summary."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    def ev(lsn, conv, turn, text, sec, op="INSERT"):
+        role = "user" if op != S.OP_DELETE else None
+        return (lsn, datetime(2024, 1, 1, 0, 0, sec), 0, op, conv, turn,
+                role, text, None, None, None)
+
+    table = SnapshotTable(str(tmp_path / "t"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    apply_batch(spark, table, spark.createDataFrame([
+        ev(1, "c1", 1, "the and one two", 1),
+        ev(2, "c2", 1, "the and five", 1),
+    ], S.CHANGELOG_SCHEMA), 0)
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "shards")
+    os.makedirs(store)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "milvus_cdc_spark.streaming.cli", "pipeline",
+         "--table", str(tmp_path / "t"), "--store", store, "--out", out,
+         "--min-score-milli", str(GATE), "--window", "2", "--stride", "1",
+         "--master", "local[2]"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["skipped"] is False and res["n_shards"] > 0
+    assert _rows(spark.read.parquet(out)) == _rows(_full(spark, [
+        ("c1#1", "the and one two"),
+        ("c2#1", "the and five"),
+    ], window=2, stride=1))
