@@ -408,6 +408,14 @@ def apply_batch(
 
     # normalize event time (parquet NTZ vs session-TZ timestamps)
     batch_df = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # msg-type whitelist at the batch boundary (reference F1: unknown
+    # message types are SKIPPED, core/reader/replicate_channel_manager.go:
+    # 1162-1167). Every class-specific filter below already excludes
+    # unknown ops implicitly — this makes the lsn-integrity gate agree
+    # with them, so a log carrying a vocabulary this engine doesn't know
+    # (e.g. a newer producer) degrades to a skip, not a task kill with a
+    # bogus negative duplicate count.
+    batch_df = batch_df.filter(F.col("op").isin(*S.ALL_OPS))
     # NOTE: deliberately NOT persisted — the batch is a columnar parquet
     # scan, and each pass below reads a narrow column subset with pushdown
     # (op-only for DDL, 4 cols for lineage, full payload once for dedup).

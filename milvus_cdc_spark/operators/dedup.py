@@ -443,7 +443,12 @@ def dedup_exact_incremental(
     )
     new_store = (
         store.select("doc_key", "fp")
-        .join(retired, "doc_key", "left_anti")
+        # retired is diff-sized (the same contract under which the
+        # sibling LSH rounds broadcast their fresh band rows), so the
+        # store side must stream map-side — hint it so a missing-stats
+        # diff (e.g. read back from disk) can't flip the anti-join into
+        # a full shuffle of the corpus store
+        .join(F.broadcast(retired), "doc_key", "left_anti")
         .unionByName(fresh)
     )
     keeper = new_store.groupBy("fp").agg(
@@ -542,7 +547,9 @@ def minhash_lsh_incremental(
     )
     new_store = scope.persist(
         store.select("doc_key", "sh", "sig")
-        .join(retired, "doc_key", "left_anti")
+        # diff-sized build side — hinted so the corpus store is never
+        # shuffled even when the diff arrives without size stats
+        .join(F.broadcast(retired), "doc_key", "left_anti")
         .unionByName(fresh)
     )
 
@@ -566,10 +573,16 @@ def minhash_lsh_incremental(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # shingle fetch-back: candidates are diff-sized, the store is the
+    # corpus — broadcast the candidate side (and the still-diff-sized
+    # first-join result) so the store streams map-side through BOTH
+    # joins instead of shuffling O(corpus) per round
     sh = new_store.select(F.col("doc_key").alias("id"), "sh")
-    verified = (
-        cand.join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    with_a = F.broadcast(cand).join(
+        sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    )
+    verified = F.broadcast(with_a).join(
+        sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b"
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
@@ -579,8 +592,14 @@ def minhash_lsh_incremental(
     ).filter(F.col("jaccard_milli") >= threshold_milli)
 
     surviving = (
-        pairs.join(retired.withColumnRenamed("doc_key", "doc_a"), "doc_a", "left_anti")
-        .join(retired.withColumnRenamed("doc_key", "doc_b"), "doc_b", "left_anti")
+        pairs.join(
+            F.broadcast(retired.withColumnRenamed("doc_key", "doc_a")),
+            "doc_a", "left_anti",
+        )
+        .join(
+            F.broadcast(retired.withColumnRenamed("doc_key", "doc_b")),
+            "doc_b", "left_anti",
+        )
         .select("doc_a", "doc_b", "jaccard_milli")
     )
     # disjoint by construction (every fresh pair touches a fresh key;
@@ -657,7 +676,9 @@ def embedding_neardup_incremental(
     )
     new_store = scope.persist(
         store.select("doc_key", "v")
-        .join(retired, "doc_key", "left_anti")
+        # diff-sized build side — hinted so the vector store is never
+        # shuffled even when the diff arrives without size stats
+        .join(F.broadcast(retired), "doc_key", "left_anti")
         .unionByName(fresh)
     )
 
@@ -688,9 +709,16 @@ def embedding_neardup_incremental(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # vector fetch-back: candidates are diff-sized, the store is the
+    # corpus — broadcast the candidate side (and the still-diff-sized
+    # first-join result) so the store streams map-side through BOTH
+    # joins instead of shuffling O(corpus) per round
     vs = new_store.select(F.col("doc_key").alias("id"), "v")
+    with_a = F.broadcast(cand).join(
+        vs.select(F.col("id").alias("doc_a"), F.col("v").alias("v_a")), "doc_a"
+    )
     fresh_pairs = (
-        cand.join(vs.select(F.col("id").alias("doc_a"), F.col("v").alias("v_a")), "doc_a")
+        F.broadcast(with_a)
         .join(vs.select(F.col("id").alias("doc_b"), F.col("v").alias("v_b")), "doc_b")
         .select(
             "doc_a", "doc_b",
@@ -699,8 +727,14 @@ def embedding_neardup_incremental(
         .filter(F.col("cosine_micro") >= threshold_micro)
     )
     surviving = (
-        pairs.join(retired.withColumnRenamed("doc_key", "doc_a"), "doc_a", "left_anti")
-        .join(retired.withColumnRenamed("doc_key", "doc_b"), "doc_b", "left_anti")
+        pairs.join(
+            F.broadcast(retired.withColumnRenamed("doc_key", "doc_a")),
+            "doc_a", "left_anti",
+        )
+        .join(
+            F.broadcast(retired.withColumnRenamed("doc_key", "doc_b")),
+            "doc_b", "left_anti",
+        )
         .select("doc_a", "doc_b", "cosine_micro")
     )
     return new_store, surviving.unionByName(fresh_pairs).dropDuplicates(

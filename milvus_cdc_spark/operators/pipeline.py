@@ -112,7 +112,11 @@ def shards_incremental(
         changes.filter(ct.isin("insert", "update")),
         key_col, text_col, window, stride,
     )
-    return shards.join(retired, "doc_key", "left_anti").unionByName(fresh)
+    # retired is diff-sized — hinted so the chunk store is never shuffled
+    # even when the diff arrives without size stats
+    return shards.join(
+        F.broadcast(retired), "doc_key", "left_anti"
+    ).unionByName(fresh)
 
 
 def training_shards(shards: DataFrame, dedup: DataFrame) -> DataFrame:

@@ -284,7 +284,9 @@ def ivf_index_incremental(
         F.col(key_col).alias("doc_key"), F.col(vec_col).alias("v")
     )
     return (
-        index.join(retired, "doc_key", "left_anti")
+        # retired is diff-sized — hinted so the posting table is never
+        # shuffled even when the diff arrives without size stats
+        index.join(F.broadcast(retired), "doc_key", "left_anti")
         .unionByName(_assign_cells(fresh, centroids))
     )
 

@@ -166,3 +166,72 @@ def test_mor_resolution_is_hash_aggregate_shuffled_hash(spark, tmp_path):
     )
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_emb_incremental_store_streams_map_side(spark):
+    """Incremental embedding near-dup must cost ∝ |diff|: the vector
+    store streams map-side through broadcast joins — retire anti-join
+    and candidate bucket join both build on the diff side. No shuffle of
+    the store (no SortMergeJoin/ShuffledHashJoin), no cartesian."""
+    from milvus_cdc_spark.operators.dedup import (
+        embedding_neardup_incremental,
+        embedding_neardup_lsh_pairs,
+        embedding_store,
+    )
+
+    dim = 8
+    corpus0 = spark.createDataFrame(
+        [(f"k{i}", [float(i % dim == j) for j in range(dim)]) for i in range(20)],
+        "vec_id string, embedding array<float>",
+    )
+    changes = spark.createDataFrame(
+        [("insert", "new", [1.0] + [0.0] * (dim - 1))],
+        "change_type string, doc_key string, embedding array<float>",
+    )
+    kw = dict(threshold_micro=900000, n_planes=2, n_tables=2, dim=dim)
+    # localCheckpoint cuts the bootstrap's lineage out of the plan — the
+    # guard is about the per-round incremental joins only
+    store0 = embedding_store(corpus0).localCheckpoint()
+    pairs0 = embedding_neardup_lsh_pairs(corpus0, **kw).localCheckpoint()
+    new_store, new_pairs = embedding_neardup_incremental(
+        store0, pairs0, changes, key_col="doc_key", **kw
+    )
+    for df in (new_store, new_pairs):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan, (
+            "store side shuffled — the diff-sized side must stay the "
+            "broadcast build side (operators/dedup.py)"
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_incremental_index_never_shuffles(spark):
+    """A maintained-IVF advance must cost ∝ |diff|: the posting table
+    anti-joins a broadcast retired set and fresh vectors assign against
+    broadcast centroids — the index side is scanned, never shuffled."""
+    from milvus_cdc_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index,
+        ivf_index_incremental,
+    )
+
+    dim = 8
+    corpus0 = spark.createDataFrame(
+        [(f"k{i}", [float((i + j) % 3) for j in range(dim)]) for i in range(30)],
+        "vec_id string, embedding array<float>",
+    )
+    cent = ivf_centroids(corpus0, n_centroids=3).localCheckpoint()
+    idx0 = ivf_index(corpus0, cent).localCheckpoint()
+    changes = spark.createDataFrame(
+        [("update", "k3", [1.0] * dim), ("delete", "k5", None)],
+        "change_type string, doc_key string, embedding array<float>",
+    )
+    plan = _plan(ivf_index_incremental(idx0, cent, changes))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, (
+        "posting table shuffled — retire/assign must broadcast the "
+        "diff-sized sides (operators/similarity.py)"
+    )
+    assert "CartesianProduct" not in plan

@@ -408,13 +408,19 @@ def test_minhash_incremental_candidate_join_broadcasts_fresh(spark):
         [("insert", "new", "w1 w2 w3")],
         "change_type string, doc_key string, text string",
     )
-    _, pairs = minhash_lsh_incremental(
-        minhash_store(corpus0), minhash_lsh_pairs(corpus0, id_col="doc_key"),
-        changes,
-    )
+    # localCheckpoint cuts the bootstrap's lineage out of the plan: the
+    # batch bootstrap pass legitimately shuffles O(corpus) ONCE, and this
+    # guard is about the per-round incremental joins only
+    store0 = minhash_store(corpus0).localCheckpoint()
+    pairs0 = minhash_lsh_pairs(corpus0, id_col="doc_key").localCheckpoint()
+    _, pairs = minhash_lsh_incremental(store0, pairs0, changes)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" not in plan, (
+        "store side shuffled — candidate discovery AND shingle fetch-back "
+        "must keep the diff-sized side as the broadcast build side"
+    )
 
 
 def test_chunks_validates_window_stride(spark):
@@ -426,3 +432,44 @@ def test_chunks_validates_window_stride(spark):
         chunks(F.col("text"), stride=0)
     with pytest.raises(ValueError):
         chunks(F.col("text"), window=8, stride=9)
+
+
+def test_unknown_op_rows_are_skipped_not_fatal(spark, tmp_path):
+    """Msg-type whitelist at the apply boundary (reference F1): a batch
+    carrying an op outside the vocabulary (e.g. a newer producer) must
+    apply its known rows and SKIP the rest — previously the unknown row
+    inflated the distinct-lsn integrity scan but not the event count,
+    killing the task with a bogus negative duplicate count."""
+    from datetime import datetime
+
+    from milvus_cdc_spark import schemas as S
+    from milvus_cdc_spark.operators.apply import apply_batch
+    from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+    def ev(lsn, sec, op, conv, turn, text):
+        return (lsn, datetime(2024, 1, 1, 0, 0, sec), 0, op, conv, turn,
+                "user", text, None, None, None)
+
+    rows = [
+        ev(1, 1, "INSERT", "c1", 1, "a"),
+        ev(2, 2, "COMPACTION_HINT", "c1", 2, "ignored"),  # unknown op
+        ev(3, 3, "UPSERT", "c1", 1, "b"),
+    ]
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=2)
+    res = apply_batch(spark, t, spark.createDataFrame(rows, S.CHANGELOG_SCHEMA), 0)
+    assert res["n_events"] == 2
+    got = {(r["conv_id"], r["turn_idx"], r["text"])
+           for r in t.read(spark).collect()}
+    assert got == {("c1", 1, "b")} | set()
+
+    t2 = SnapshotTable(str(tmp_path / "t2"))
+    t2.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=2)
+    apply_batch(
+        spark, t2,
+        spark.createDataFrame([rows[0], rows[2]], S.CHANGELOG_SCHEMA), 0,
+    )
+    assert (
+        sorted(map(tuple, t.read(spark).collect()))
+        == sorted(map(tuple, t2.read(spark).collect()))
+    ), "skipping the unknown op must equal never having seen it"
