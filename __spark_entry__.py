@@ -122,6 +122,97 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
 
 
+def _derive_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update backfill stream derived from 'click' events (which
+    the anchor derivation drops): each click PATCHes the turn
+    (u<user_id>, event_id % 5), always setting tool, setting text on even
+    event_ids, leaving role untouched. ts is shifted +400 days so every
+    patch outranks every anchor; event_id keeps lsn globally unique
+    across the union of both derived streams."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("lsn"),
+            (F.col("ts") + F.expr("INTERVAL 400 DAYS")).alias("ts"),
+            F.pmod(F.col("user_id"), F.lit(N_PARTS)).cast("int").alias("part"),
+            F.lit(S.OP_PATCH).alias("op"),
+            F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+            F.pmod(F.col("event_id"), F.lit(5)).cast("int").alias("turn_idx"),
+            F.lit(None).cast("string").alias("role"),
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(2)) == 0,
+                F.concat(F.lit("bfv"), F.col("event_id")),
+            ).alias("text"),
+            F.concat(F.lit("bf"), F.col("event_id")).alias("tool"),
+            F.lit(None).cast("string").alias("ddl_arg"),
+            F.lit(None).cast("map<string,string>").alias("extra"),
+        )
+    )
+
+
+def _q_cdc_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for OP_PATCH partial updates (per-column LWW; a
+    beyond-reference operator — Milvus' model is insert+delete only,
+    /root/reference/core/writer/channel_writer.go:139-212 — that the
+    transcript payload implies: tool RESULTS land on turns emitted
+    earlier). Two anchor epochs through the real engine, then a third
+    epoch of click-derived patches: non-null columns overwrite, nulls
+    leave the stored value, the row's ts/lsn advance to the newest patch,
+    and patches on deleted or never-created keys are VOID. The oracle
+    mirrors the rule declaratively: per key, latest anchor state left-
+    joined with the latest non-null patch value per column."""
+    log = _derive_changelog(spark, sf_dir)
+    root = _probe_table_root(sf_dir, "patch")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    apply_batch(spark, table, log.filter(F.col("lsn") <= mid), epoch=0)
+    apply_batch(spark, table, log.filter(F.col("lsn") > mid), epoch=1)
+    apply_batch(spark, table, _derive_patches(spark, sf_dir), epoch=2)
+    return table.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "part", "lsn"
+    )
+
+
+# patch ordinal packed for DuckDB arg_max (mirrors the engine's decimal
+# (ts, lsn) packing; all patches share rank): epoch-micros × 10^10 + lsn
+_PATCH_ORD = "epoch_us(ts + INTERVAL 400 DAY)::HUGEINT * 10000000000 + event_id"
+
+_ORACLE_PATCH = f"""
+WITH log AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log),
+live AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, part, lsn
+  FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+pagg AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 5 AS INT) AS turn_idx,
+         arg_max(CASE WHEN event_id % 2 = 0
+                      THEN 'bfv' || CAST(event_id AS VARCHAR) END,
+                 {_PATCH_ORD})
+             FILTER (WHERE event_id % 2 = 0) AS p_text,
+         arg_max('bf' || CAST(event_id AS VARCHAR), {_PATCH_ORD}) AS p_tool,
+         arg_max(ts + INTERVAL 400 DAY, {_PATCH_ORD}) AS p_ts,
+         arg_max(event_id, {_PATCH_ORD}) AS p_lsn
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1, 2)
+SELECT l.conv_id, l.turn_idx, l.role,
+       COALESCE(p.p_text, l.text) AS text,
+       CASE WHEN p.p_tool IS NOT NULL THEN p.p_tool ELSE l.tool END AS tool,
+       CASE WHEN p.p_tool IS NOT NULL THEN p.p_ts ELSE l.ts END AS ts,
+       l.part,
+       CASE WHEN p.p_tool IS NOT NULL THEN p.p_lsn ELSE l.lsn END AS lsn
+FROM live l LEFT JOIN pagg p USING (conv_id, turn_idx)
+"""
+
+
 def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for snapshot time travel (manifest versioning — the
     Iceberg snapshot-read analogue, plans/manifest.py:121): apply TWO
@@ -1428,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ===== CDC engine inventory (SURVEY.md §2) =====
     q["cdc_final_state"] = _q_cdc_final_state
+    q["cdc_patch"] = _q_cdc_patch
     q["cdc_table_truncate"] = _q_cdc_table_truncate
     q["cdc_schema_widen"] = _q_cdc_schema_widen
     q["cdc_bootstrap"] = _q_cdc_bootstrap
@@ -1816,6 +1908,7 @@ def oracle_sql() -> dict[str, str]:
 
     d = {
         "cdc_final_state": _ORACLE_FINAL_STATE,
+        "cdc_patch": _ORACLE_PATCH,
         "cdc_table_truncate": _ORACLE_TABLE_TRUNCATE,
         "cdc_schema_widen": _ORACLE_SCHEMA_WIDEN,
         # bootstrap(old-state) + tail(newer half) must equal the FULL

@@ -120,6 +120,32 @@ def main() -> None:
     )
     mor_sec = time.time() - t0
     mor_rows = mtask.table.read(spark).count()
+
+    # partial-update twin (single rep, additive side metric — the headline
+    # workload above stays byte-identical round-over-round): same event
+    # count with 15% OP_PATCH events, drained CoW. Exercises the
+    # per-column-ordinal merge (compose_patch_actions +
+    # merge_patched_actions) at bench scale.
+    patch_log = os.path.join(work, "plog")
+    write_changelog(
+        generate_changelog(
+            spark, n_events, n_parts=32, n_convs=max(200, n_events // 500),
+            turns_per_conv=50, ties_group=1, patch_pct=15,
+        ),
+        patch_log,
+        n_files=16,
+    )
+    t0 = time.time()
+    ptask = run_until_drained(
+        spark,
+        patch_log,
+        os.path.join(work, "table_patch"),
+        os.path.join(work, "ckpt_patch"),
+        max_files_per_trigger=8,
+        n_buckets=16,
+    )
+    patch_sec = time.time() - t0
+    patch_rows = ptask.table.read(spark).count()
     shutil.rmtree(work, ignore_errors=True)
 
     # ---- representative queries (best of 2 for the same reason) ----------
@@ -154,6 +180,9 @@ def main() -> None:
                     "mor_apply_sec": round(mor_sec, 3),
                     "mor_events_per_sec": round(n_events / mor_sec, 1),
                     "mor_final_rows_match": mor_rows == final_rows,
+                    "patch_apply_sec": round(patch_sec, 3),
+                    "patch_events_per_sec": round(n_events / patch_sec, 1),
+                    "patch_final_rows": patch_rows,
                     "cpus": cpus,
                 },
             }

@@ -199,6 +199,198 @@ def _parse_ddl(
     return adds, renames, widens, drops, truncate_ts
 
 
+def compose_patch_actions(
+    dml: DataFrame,
+    carry_cols: list[str],
+    payload_cols: list[str],
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Batch-compose full-row anchors (INSERT/UPSERT/DELETE) with
+    partial-row PATCH events into ONE action per key (schemas.OP_PATCH
+    semantics: per-column last-writer-wins).
+
+    Shape: anchors go through the standard skew-proof ``dedup_last_writer``;
+    patches fold per key with per-column ``max_by`` over the packed
+    (ts, rank, lsn) decimal — both whole-stage-codegen HashAggregates —
+    then ONE full-outer join on the key (each side unique per key, so the
+    join cannot skew) stitches them:
+
+    - column c = the max-ord setter of c among {anchor (sets all columns),
+      patches (set their non-null columns)};
+    - a DELETE anchor voids every patch in the batch (in the ord-order
+      fold those patches land on an absent row);
+    - the row's ts/lsn/part advance to the newest applied piece.
+
+    Output = dedup_last_writer's columns plus merge bookkeeping:
+    ``_aord`` (anchor ord; null for patch-only keys), ``_o_<c>`` per carry
+    column (ord of that column's setter; null = this action does not set
+    c), and ``_mord`` (ord of the piece whose ts/lsn the row carries).
+    ``extra`` is anchor-only: a patch's dynamic bag was already promoted
+    into typed columns upstream (bag_decode), and patching never-promoted
+    bag keys is out of scope (schemas.OP_PATCH docstring).
+    """
+    anchors = dml.filter(F.col("op") != S.OP_PATCH)
+    patches = dml.filter(F.col("op") == S.OP_PATCH)
+    w = dedup_last_writer(anchors, carry_cols, salt_partitions).withColumn(
+        "_aord", _ord_col(F.col("op"))
+    )
+    p = patches.withColumn("_pord", _ord_col(F.col("op")))
+    aggs = []
+    for c in payload_cols:
+        set_ord = F.when(F.col(c).isNotNull(), F.col("_pord"))
+        aggs.append(F.max(set_ord).alias(f"_po_{c}"))
+        aggs.append(F.max_by(F.col(c), set_ord).alias(f"_pv_{c}"))
+    aggs.append(F.max("_pord").alias("_pmax"))
+    aggs.append(
+        F.max_by(F.struct("ts", "lsn", "part"), F.col("_pord")).alias("_plast")
+    )
+    pa = p.groupBy("conv_id", "turn_idx").agg(*aggs)
+    j = w.join(pa.hint("shuffle_hash"), on=["conv_id", "turn_idx"], how="full_outer")
+
+    anchor_here = F.col("_aord").isNotNull()
+    is_del = anchor_here & (F.col("op") == S.OP_DELETE)
+    # newest patch beats the in-batch anchor → the row's ts/lsn advance
+    patch_newer = (
+        (~is_del)
+        & F.col("_pmax").isNotNull()
+        & (~anchor_here | (F.col("_pmax") > F.col("_aord")))
+    )
+    out = [F.col("conv_id"), F.col("turn_idx")]
+    out.append(
+        F.when(anchor_here, F.col("op")).otherwise(F.lit(S.OP_PATCH)).alias("op")
+    )
+    for rc in ("ts", "lsn", "part"):
+        out.append(
+            F.when(patch_newer, F.col("_plast").getField(rc))
+            .otherwise(F.col(rc))
+            .alias(rc)
+        )
+    ords = []
+    for c in carry_cols:
+        if c in payload_cols:
+            p_applies = (
+                (~is_del)
+                & F.col(f"_po_{c}").isNotNull()
+                & (~anchor_here | (F.col(f"_po_{c}") > F.col("_aord")))
+            )
+            out.append(
+                F.when(p_applies, F.col(f"_pv_{c}")).otherwise(F.col(c)).alias(c)
+            )
+            ords.append(
+                F.when(p_applies, F.col(f"_po_{c}"))
+                .otherwise(F.when(anchor_here, F.col("_aord")))
+                .alias(f"_o_{c}")
+            )
+        else:  # extra (and any future anchor-only carry)
+            out.append(F.col(c))
+            ords.append(F.when(anchor_here, F.col("_aord")).alias(f"_o_{c}"))
+    out.extend(ords)
+    out.append(F.col("_aord"))
+    out.append(
+        F.when(patch_newer, F.col("_pmax")).otherwise(F.col("_aord")).alias("_mord")
+    )
+    return j.select(*out)
+
+
+def merge_patched_actions(
+    target: DataFrame,
+    actions: DataFrame,
+    carry_cols: list[str],
+    n_buckets: int,
+    write_factor: int,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """``merge_actions`` extended to per-column ordinals — the MERGE for
+    batches that contain PATCH events (compose_patch_actions output).
+
+    Same one-shuffle-per-side plan as merge_actions (co-partitioned
+    (_bucket, _wsalt) SHUFFLE_HASH full-outer, output pre-partitioned for
+    the bucketed write). Decision rules on top:
+
+    - row existence is decided by ANCHOR ordinals only (``_aord`` vs the
+      stored row's packed ord) — patches never create, delete, or
+      resurrect rows; a patch-only action against a missing or dead key
+      is void and emits nothing new;
+    - each column applies independently: an action column lands iff its
+      setter's ord beats the stored row's ord (covers "anchor lost to the
+      store but a newer patch still lands its columns");
+    - ``_applied`` marks rows this epoch actually changed — the
+      merge-on-read path appends ONLY those as delta rows (an unchanged
+      row re-appended at the same ord would double the resolution winner).
+
+    Emits one row per live key of the touched buckets plus tombstones —
+    identical contract to merge_actions, plus the ``_applied`` flag.
+    """
+    from milvus_cdc_spark.plans.manifest import stored_ord_col
+
+    bucket_of = F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    wsalt = F.pmod(F.xxhash64("conv_id", F.lit(7)), F.lit(write_factor)).cast("int")
+    n_parts = n_parts or n_buckets * write_factor
+    t = target.select(
+        bucket_of.alias("_bucket"), wsalt.alias("_wsalt"),
+        F.col("conv_id"), F.col("turn_idx"),
+        F.coalesce(F.col("alive"), F.lit(True)).alias("t_alive"),
+        stored_ord_col().alias("t_ord"),
+        *[F.col(c).alias(f"t_{c}") for c in ["ts", "lsn", "part"] + carry_cols],
+    ).repartition(n_parts, "_bucket", "_wsalt")
+    a = actions.select(
+        bucket_of.alias("_bucket"), wsalt.alias("_wsalt"),
+        F.col("conv_id"), F.col("turn_idx"),
+        F.col("_aord").alias("a_aord"), F.col("_mord").alias("a_mord"),
+        *[F.col(f"_o_{c}").alias(f"ao_{c}") for c in carry_cols],
+        *[F.col(c).alias(f"a_{c}") for c in ["op", "ts", "lsn", "part"] + carry_cols],
+    ).repartition(n_parts, "_bucket", "_wsalt")
+    j = t.join(
+        a.hint("shuffle_hash"),
+        on=["_bucket", "_wsalt", "conv_id", "turn_idx"],
+        how="full_outer",
+    )
+    t_here = F.col("t_lsn").isNotNull()
+    a_wins_row = F.col("a_aord").isNotNull() & (
+        ~t_here | (F.col("a_aord") > F.col("t_ord"))
+    )
+    t_live = t_here & F.col("t_alive")
+    alive = F.when(a_wins_row, F.col("a_op") != S.OP_DELETE).otherwise(
+        F.coalesce(F.col("t_alive"), F.lit(True))
+    )
+    col_exprs = []
+    applied_any = a_wins_row
+    for c in carry_cols:
+        p_lands = (
+            ~a_wins_row
+            & t_live
+            & F.col(f"ao_{c}").isNotNull()
+            & (F.col(f"ao_{c}") > F.col("t_ord"))
+        )
+        applied_any = applied_any | p_lands
+        col_exprs.append(
+            F.when(a_wins_row | p_lands, F.col(f"a_{c}"))
+            .otherwise(F.col(f"t_{c}"))
+            .alias(c)
+        )
+    patch_rowmeta = (
+        ~a_wins_row & t_live & F.col("a_mord").isNotNull()
+        & (F.col("a_mord") > F.col("t_ord"))
+    )
+    for rc in ("ts", "part", "lsn"):
+        col_exprs.append(
+            F.when(a_wins_row | patch_rowmeta, F.col(f"a_{rc}"))
+            .otherwise(F.col(f"t_{rc}"))
+            .alias(rc)
+        )
+    return (
+        j.filter(t_here | a_wins_row)  # void patch on a missing key emits nothing
+        .select(
+            "conv_id",
+            "turn_idx",
+            *col_exprs,
+            alive.alias("alive"),
+            applied_any.alias("_applied"),
+            "_bucket",
+        )
+    )
+
+
 def _strip_promoted(df: DataFrame, promoted: list[str]) -> DataFrame:
     """Remove dynamic-bag keys whose values now live in typed columns.
 
@@ -438,6 +630,7 @@ def apply_batch(
             F.min("lsn").alias("start_lsn"),
             F.max("lsn").alias("end_lsn"),
             F.sum(F.when(F.col("op").isin(S.OP_INSERT, S.OP_UPSERT), 1).otherwise(0)).alias("n_insert"),
+            F.sum(F.when(F.col("op") == S.OP_PATCH, 1).otherwise(0)).alias("n_patch"),
             F.sum(F.when(F.col("op") == S.OP_DELETE, 1).otherwise(0)).alias("n_delete"),
             F.sum(F.when(F.col("op").isin(*S.DDL_OPS), 1).otherwise(0)).alias("n_ddl"),
             F.collect_set(
@@ -469,9 +662,10 @@ def apply_batch(
     adds, renames, new_widens, new_drops, new_truncate = _parse_ddl(ddl_rows)
     touched = sorted({b for r in per_part for b in r["buckets"]})
     n_insert = sum(r["n_insert"] for r in per_part)
+    n_patch = sum(r["n_patch"] for r in per_part)
     n_delete = sum(r["n_delete"] for r in per_part)
     n_ddl = sum(r["n_ddl"] for r in per_part)
-    n_events = n_insert + n_delete + n_ddl
+    n_events = n_insert + n_patch + n_delete + n_ddl
     tp = _mark("lineage_ddl_buckets", tp)
 
     physical_cols = [c for c, _ in m.columns]
@@ -520,10 +714,9 @@ def apply_batch(
     # instead of dragging a per-row map payload
     dml = _strip_promoted(dml, evolved_payload)
     carry_cols = payload_cols + ["extra"]
-    actions = dedup_last_writer(dml, carry_cols, salt_partitions)
 
     # drop/truncate watermarks (historical + this batch) kill strictly-older
-    # actions
+    # events/actions
     combined_drops = {int(p): ts for p, ts in m.drop_watermarks.items()}
     for p, ts in new_drops.items():
         if p not in combined_drops or ts > combined_drops[p]:
@@ -531,8 +724,23 @@ def apply_batch(
     combined_truncate = m.truncate_watermark
     if new_truncate and (combined_truncate is None or new_truncate > combined_truncate):
         combined_truncate = new_truncate
-    if combined_drops or combined_truncate:
-        actions = actions.filter(_new_drop_filter(combined_drops, combined_truncate))
+
+    has_patches = n_patch > 0
+    if has_patches:
+        # watermarks must kill EVENTS before patch composition: an anchor
+        # below a drop watermark is dead, and a newer patch must not carry
+        # its row past the drop by advancing the composed ts. (For the
+        # anchor-only path below this pre/post distinction is vacuous: the
+        # dedup winner has the key's max ts, so winner-below-watermark ⇒
+        # every loser below it too — filtering actions is the cheaper
+        # equivalent there.)
+        if combined_drops or combined_truncate:
+            dml = dml.filter(_new_drop_filter(combined_drops, combined_truncate))
+        actions = compose_patch_actions(dml, carry_cols, payload_cols, salt_partitions)
+    else:
+        actions = dedup_last_writer(dml, carry_cols, salt_partitions)
+        if combined_drops or combined_truncate:
+            actions = actions.filter(_new_drop_filter(combined_drops, combined_truncate))
 
     tp = _mark("dedup_plan", tp)
 
@@ -540,7 +748,7 @@ def apply_batch(
     appended: dict[int, list[str]] = {}
     n_keys = 0
     max_ts = None
-    if touched and m.write_mode == "mor":
+    if touched and m.write_mode == "mor" and not has_patches:
         # ---- merge-on-read epoch: APPEND the deduped actions as delta
         # files — no target read, no merge join, write cost O(batch)
         # regardless of table size (the CoW path's write amplification is
@@ -600,10 +808,25 @@ def apply_batch(
         # table never fragments)
         cores = spark.sparkContext.defaultParallelism
         write_factor = max(1, min(8, (2 * cores) // max(1, len(touched))))
-        merged = merge_actions(
-            target, actions, carry_cols, nb, write_factor,
-            n_parts=len(touched) * write_factor,
-        )
+        if has_patches:
+            # PATCH batches take the per-column-ordinal merge. On a MOR
+            # table this is the one epoch shape that READS (patches are
+            # read-modify-write by definition) — still bucket-pruned, and
+            # the WRITE stays O(changed rows): only rows the epoch
+            # actually changed (`_applied`) append as delta; rewriting
+            # nothing. A patch-free MOR epoch never reaches here.
+            merged = merge_patched_actions(
+                target, actions, carry_cols, nb, write_factor,
+                n_parts=len(touched) * write_factor,
+            )
+            if m.write_mode == "mor":
+                merged = merged.filter(F.col("_applied"))
+            merged = merged.drop("_applied")
+        else:
+            merged = merge_actions(
+                target, actions, carry_cols, nb, write_factor,
+                n_parts=len(touched) * write_factor,
+            )
         # table stats ride the write job itself (Observation = accumulator
         # metrics collected during the action) — no second pass over data
         import uuid
@@ -628,15 +851,20 @@ def apply_batch(
         stats = obs.get
         n_keys, max_ts = stats["k"] or 0, stats["mt"]
         tp = _mark("merge_write", tp)
-        replaced = {b: [] for b in touched}
+        written = {b: [] for b in touched}
         for b in touched:
             bdir = os.path.join(out_dir, f"bucket={b}")
             if os.path.isdir(bdir):
-                replaced[b] = [
+                written[b] = [
                     os.path.join(out_dir_rel, f"bucket={b}", f)
                     for f in sorted(os.listdir(bdir))
                     if f.endswith(".parquet")
                 ]
+        if m.write_mode == "mor":
+            # patched MOR epoch: changed rows only → append to the chain
+            appended = written
+        else:
+            replaced = written
 
     # changelog-offset integrity gate (await the concurrent scan): duplicate
     # lsns break the dedup contract (dedup_last_writer relies on GLOBALLY

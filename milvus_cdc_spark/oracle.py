@@ -27,6 +27,9 @@ _RANKS = {
     S.OP_TRUNCATE: 1,
     S.OP_INSERT: 2,
     S.OP_UPSERT: 2,
+    # partial update ranks with the full-row writes: at equal ts a PATCH
+    # later in the log (higher lsn) overrides, an earlier one is overridden
+    S.OP_PATCH: 2,
     S.OP_ADD_COLUMN: 3,
     S.OP_RENAME_COLUMN: 3,
     # metadata-only type promotion: values are plain Python ints either
@@ -64,6 +67,28 @@ def replay(events: list[dict[str, Any]]) -> tuple[list[dict[str, Any]], list[str
             pass  # type promotion — no value change in the Python fold
         elif op == S.OP_DELETE:
             state.pop((e["conv_id"], e["turn_idx"]), None)
+        elif op == S.OP_PATCH:
+            # partial update: non-null payload columns overwrite, nulls
+            # leave the stored value; a patch on an absent row is VOID
+            # (patches never create rows). Because the fold runs in
+            # (ts, rank, lsn) order, "absent here" is exactly the
+            # declarative rule: no live anchor with a smaller ord.
+            # scope: typed payload columns — base ones ride the event's
+            # own columns, evolved ones its dynamic bag (the engine's
+            # bag-promotion decodes extra[c] into the typed column for
+            # patches exactly as for upserts). Engine parity requires the
+            # bag key be PROMOTED (ADD_COLUMN applied) by the patch's
+            # epoch; patching a never-promoted key is undefined.
+            row = state.get((e["conv_id"], e["turn_idx"]))
+            if row is not None:
+                for c in ("role", "text", "tool"):
+                    if e[c] is not None:
+                        row[c] = e[c]
+                for k, v in (e.get("extra") or {}).items():
+                    if v is not None:
+                        row["_extra"] = {**row["_extra"], k: v}
+                row["ts"] = e["ts"]
+                row["lsn"] = e["lsn"]
         else:  # INSERT / UPSERT — full-row replace
             state[(e["conv_id"], e["turn_idx"])] = {
                 "conv_id": e["conv_id"],

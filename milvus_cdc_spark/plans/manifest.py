@@ -935,6 +935,58 @@ class SnapshotTable:
             self._write_manifest(nm)
         return nm
 
+    def rollback(self, to_version: int) -> Manifest:
+        """Restore the table to an earlier snapshot — the Iceberg
+        ``rollback_to_snapshot`` analogue (and the recovery story the
+        reference delegates to "reset the position and replay",
+        /root/reference/server/cdc_impl.go:844-873): a bad epoch is undone
+        by swinging CURRENT forward to a NEW version whose content is the
+        old manifest's, byte for byte.
+
+        Forward-rolling (never rewinds CURRENT) keeps the version history
+        linear and time travel intact. The epoch registry is restored to
+        the target's, so re-draining from the matching checkpoint REPLAYS
+        the undone epochs instead of skipping them — exactly-once
+        composes with rollback. Data files are untouched (the rolled-back
+        version still references them; ``vacuum`` reclaims the undone
+        epochs' files once their manifests age out). Runs under the
+        commit lease with a CAS check — a racing writer fails loudly.
+        """
+        m = self.current()
+        if to_version == m.version:
+            return m
+        if to_version > m.version:
+            raise ValueError(
+                f"rollback target v{to_version} is ahead of CURRENT v{m.version}"
+            )
+        old = self.at_version(to_version)
+        nm = Manifest(
+            version=m.version + 1,
+            snapshot_id=self._snapshot_id(f"rollback-{to_version}-at-{m.version}"),
+            n_buckets=old.n_buckets,
+            columns=[list(c) for c in old.columns],
+            renames=dict(old.renames),
+            drop_watermarks=dict(old.drop_watermarks),
+            files={k: list(v) for k, v in old.files.items()},
+            epochs=dict(old.epochs),
+            added=list(old.added),
+            summary={**old.summary, "rolled_back_from": m.version,
+                     "rolled_back_to": to_version},
+            truncate_watermark=old.truncate_watermark,
+            pending_widens=dict(old.pending_widens),
+            write_mode=old.write_mode,
+        )
+        with self.commit_lease():
+            cur_v = self._current_version()
+            if cur_v != m.version:
+                raise CommitConflictError(
+                    f"{self.root}: rollback planned against v{m.version} but "
+                    f"CURRENT is v{cur_v} — a writer committed meanwhile; "
+                    "pause the task and re-run rollback"
+                )
+            self._write_manifest(nm)
+        return nm
+
     def vacuum(
         self, keep_versions: int = 2, min_age_sec: float = 3600.0
     ) -> dict[str, int]:

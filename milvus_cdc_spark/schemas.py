@@ -40,7 +40,25 @@ OP_RENAME_COLUMN = "RENAME_COLUMN"
 # ``{"column": <logical name>, "type": <wider type>}``.
 OP_WIDEN_COLUMN = "WIDEN_COLUMN"
 
-DML_OPS = (OP_INSERT, OP_UPSERT, OP_DELETE)
+# partial-row update: non-null payload columns overwrite, null payload
+# columns are LEFT UNCHANGED — the Debezium/Mongo-$set "patch" shape a
+# transcript log needs when a tool RESULT lands on a turn emitted earlier
+# (the reference has no analogue: Milvus' data model is insert+delete
+# only, core/writer/channel_writer.go:139-212 — this is a beyond-reference
+# operator the north-star's "new tool fields" evolution story implies).
+# Semantics (declarative, per-column LWW): the final value of column c is
+# the value set by the max-(ts,rank,lsn) event that SET c — anchors
+# (INSERT/UPSERT/DELETE) set every column, a PATCH sets its non-null
+# columns; a row EXISTS iff its max-ord anchor is not a DELETE, and
+# patches never create or resurrect rows (a patch whose key has no live
+# row when its epoch applies is void). Engine equivalence to this rule
+# holds when a patch's (ts,rank,lsn) order agrees with its log order
+# relative to other events of the SAME key — the per-key causal ordering
+# every real WAL/binlog gives (the reference leans on the identical
+# per-channel guarantee, replicate_message_manager.go:84-100).
+OP_PATCH = "PATCH"
+
+DML_OPS = (OP_INSERT, OP_UPSERT, OP_DELETE, OP_PATCH)
 DDL_OPS = (
     OP_DROP_PARTITION,
     OP_TRUNCATE,

@@ -47,9 +47,22 @@ def generate_changelog(
     drops: bool = True,
     truncates: bool = False,
     widens: bool = False,
+    patch_pct: int = 0,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Return an ``n``-row changelog DataFrame with CHANGELOG_SCHEMA."""
+    """Return an ``n``-row changelog DataFrame with CHANGELOG_SCHEMA.
+
+    ``patch_pct`` > 0 converts that percentage of eligible events into
+    partial-row PATCH events (schemas.OP_PATCH): each targets the key of
+    a deterministically EARLIER event (id − 8·ties_group, kept only when
+    that event was an INSERT/UPSERT — so every patch follows an anchor
+    for its key in the log), always sets ``tool``, sets ``text`` on half,
+    and leaves ``role`` null (= untouched). Patch timestamps sit half a
+    second PAST their tie group so a patch never shares an equal-ts group
+    with an anchor; with ``ties_group=1`` the stream's per-key (ts, rank,
+    lsn) order coincides with log order and the sequential oracle matches
+    the engine exactly (the boundary rule in schemas.OP_PATCH's docstring
+    covers equal-ts groups)."""
     rng = spark.range(0, n, 1, num_partitions or spark.sparkContext.defaultParallelism)
     c = F.col("id")
 
@@ -77,12 +90,42 @@ def generate_changelog(
     is_ddl = is_add | is_rename | is_drop | is_truncate | is_widen
 
     hv = hmod(1, 100)
+
+    # PATCH events: retarget this id at the key of an event 8 tie-groups
+    # earlier, kept only when that event was a full-row anchor — pure
+    # column re-derivation at the earlier id (the generator is a hash of
+    # (id, seed, salt), so "what did event id−k look like" is just the
+    # same expressions evaluated at id−k; zero extra scans or joins).
+    is_patch = F.lit(False)
+    if patch_pct > 0:
+        back = 8 * max(1, ties_group)
+        cp = c - F.lit(back)
+
+        def hpmod(salt: int, m: int):
+            return F.pmod(F.xxhash64(cp, F.lit(seed), F.lit(salt)), F.lit(m))
+
+        prev_ddl_ids = [
+            x
+            for x in [add_lsn, rename_lsn, truncate_lsn, widen_lsn] + drop_lsns
+            if x >= 0
+        ]
+        prev_is_ddl = cp.isin(prev_ddl_ids) if prev_ddl_ids else F.lit(False)
+        prev_is_anchor = hpmod(1, 100) >= F.lit(delete_pct)
+        is_patch = (
+            ~is_ddl
+            & (cp >= 0)
+            & (hmod(9, 100) < patch_pct)
+            & ~prev_is_ddl
+            & prev_is_anchor
+        )
+
     op = (
         F.when(is_add, F.lit(S.OP_ADD_COLUMN))
         .when(is_rename, F.lit(S.OP_RENAME_COLUMN))
         .when(is_drop, F.lit(S.OP_DROP_PARTITION))
         .when(is_truncate, F.lit(S.OP_TRUNCATE))
         .when(is_widen, F.lit(S.OP_WIDEN_COLUMN))
+        .when(is_patch, F.lit(S.OP_PATCH))
         .when(hv < delete_pct, F.lit(S.OP_DELETE))
         .when(hv < delete_pct + upsert_pct, F.lit(S.OP_UPSERT))
         .otherwise(F.lit(S.OP_INSERT))
@@ -91,11 +134,19 @@ def generate_changelog(
     conv_id = F.when(
         hmod(2, 100) < hot_pct, F.concat(F.lit("hot_"), hmod(3, n_hot))
     ).otherwise(F.concat(F.lit("conv_"), hmod(4, n_convs)))
+    if patch_pct > 0:
+        conv_prev = F.when(
+            hpmod(2, 100) < hot_pct, F.concat(F.lit("hot_"), hpmod(3, n_hot))
+        ).otherwise(F.concat(F.lit("conv_"), hpmod(4, n_convs)))
+        conv_id = F.when(is_patch, conv_prev).otherwise(conv_id)
     conv_id = F.when(is_ddl, F.lit(None).cast("string")).otherwise(conv_id)
 
-    turn_idx = F.when(is_ddl, F.lit(None).cast("int")).otherwise(
-        hmod(5, turns_per_conv).cast("int")
-    )
+    turn_idx = hmod(5, turns_per_conv).cast("int")
+    if patch_pct > 0:
+        turn_idx = F.when(
+            is_patch, hpmod(5, turns_per_conv).cast("int")
+        ).otherwise(turn_idx)
+    turn_idx = F.when(is_ddl, F.lit(None).cast("int")).otherwise(turn_idx)
 
     # part: hash of conv_id for DML (the reference shards by channel hash of
     # the key space); explicit target part for DROP_PARTITION events.
@@ -103,21 +154,39 @@ def generate_changelog(
         F.pmod(F.xxhash64(conv_id), F.lit(n_parts)).cast("int")
     )
 
-    ts = F.timestamp_seconds(F.lit(BASE_EPOCH) + (c / F.lit(ties_group)).cast("long"))
+    group_sec = F.lit(BASE_EPOCH) + (c / F.lit(ties_group)).cast("long")
+    ts = F.timestamp_seconds(group_sec)
+    if patch_pct > 0:
+        # half a second PAST the tie group: a patch never shares an
+        # equal-ts group with an anchor (see docstring)
+        ts = F.when(
+            is_patch,
+            F.timestamp_micros(group_sec * F.lit(1_000_000) + F.lit(500_000)),
+        ).otherwise(ts)
 
-    role = F.when(op != S.OP_DELETE,
+    role = F.when((op != S.OP_DELETE) & (op != S.OP_PATCH),
         F.element_at(
             F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
             (hmod(7, 4) + 1).cast("int"),
         )
     )
-    is_payload = ~is_ddl & (op != S.OP_DELETE)
+    is_payload = ~is_ddl & (op != S.OP_DELETE) & (op != S.OP_PATCH)
     text = F.when(
         is_payload, F.concat(F.lit("t|"), conv_id, F.lit("|"), turn_idx, F.lit("|v"), c)
     )
     tool = F.when(
         is_payload & (role == "tool"), F.concat(F.lit("tool_"), hmod(8, 7))
     )
+    if patch_pct > 0:
+        # every patch sets tool; half also rewrite text; role stays null
+        # (= untouched under OP_PATCH's non-null-overwrites rule)
+        text = F.when(
+            is_patch & (hmod(10, 2) == 0),
+            F.concat(F.lit("pt|"), conv_id, F.lit("|"), turn_idx, F.lit("|v"), c),
+        ).otherwise(text)
+        tool = F.when(
+            is_patch, F.concat(F.lit("ptool_"), hmod(8, 7))
+        ).otherwise(tool)
 
     ddl_arg = (
         F.when(is_add, F.lit('{"column":"tool_args","type":"string"}'))

@@ -144,7 +144,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "create", "drain", "status", "tail", "pause", "resume",
             "delete", "list", "position", "compact", "vacuum", "bootstrap",
-            "convert", "cascade", "pipeline",
+            "convert", "cascade", "pipeline", "rollback",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -183,6 +183,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="compact a table at the next epoch boundary once "
                         "any bucket exceeds this many files (MOR "
                         "housekeeping)")
+    p.add_argument("--to-version", type=int, default=None,
+                   help="rollback: manifest version to restore (forward-"
+                        "rolling: commits a NEW version with the old "
+                        "content; undone epochs become replayable)")
     p.add_argument("--store", help="pipeline: state directory (dedup + "
                    "chunk stores and the version cursor)")
     p.add_argument("--out", default=None,
@@ -202,6 +206,23 @@ def main(argv: list[str] | None = None) -> int:
         # multi-collection trees alike (the reference's one maintenance
         # verb serves any task, server/cdc_api.go:26-36)
         print(json.dumps(_maintenance_roots(a, p, "vacuum")))
+        return 0
+    if a.command == "rollback":
+        # undo bad epochs by restoring an earlier snapshot
+        # (manifest.rollback — forward-rolling, lease-guarded). Pure
+        # manifest commit, no Spark session; pause the task first so the
+        # CAS check can't race a drain.
+        if a.to_version is None or not a.table:
+            p.error("'rollback' needs --table and --to-version")
+        from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+        m = SnapshotTable(a.table).rollback(a.to_version)
+        print(json.dumps({
+            "table": a.table,
+            "version": m.version,
+            "restored_to": a.to_version,
+            "snapshot_id": m.snapshot_id,
+        }))
         return 0
     if a.command == "pause":
         reg = _registry(a)

@@ -473,3 +473,94 @@ def test_unknown_op_rows_are_skipped_not_fatal(spark, tmp_path):
         sorted(map(tuple, t.read(spark).collect()))
         == sorted(map(tuple, t2.read(spark).collect()))
     ), "skipping the unknown op must equal never having seen it"
+
+
+# ---------------------------------------------------------------------------
+# rollback: forward-rolling snapshot restore (reference analogue: reset the
+# position and replay, server/cdc_impl.go:844-873)
+# ---------------------------------------------------------------------------
+
+def _state_set(spark, t):
+    return {
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in t.read(spark).collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_rollback_restores_state_and_replays_epochs(spark, tmp_path, mode):
+    """Rolling back past a bad epoch restores the old content at a NEW
+    version (history stays linear, time travel intact), and the restored
+    epoch registry makes re-draining REPLAY the undone epoch rather than
+    skip it — exactly-once composes with recovery."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4, write_mode=mode)
+    e0 = _mk(spark, [_ins(1, "a", 1, "a1", 1), _ins(2, "b", 1, "b1", 2)])
+    e1 = _mk(spark, [
+        _ins(3, "a", 1, None, 3, op="DELETE"),
+        _ins(4, "c", 1, "c1", 4),
+    ])
+    apply_batch(spark, t, e0, 0)
+    v_good = t.current().version
+    good = _state_set(spark, t)
+    apply_batch(spark, t, e1, 1)
+    v_bad = t.current().version
+    bad = _state_set(spark, t)
+    assert bad != good
+
+    m = t.rollback(v_good)
+    assert m.version == v_bad + 1  # forward-rolling, never rewinds CURRENT
+    assert _state_set(spark, t) == good
+    # time travel to the undone version still works
+    assert t.read(spark, manifest=t.at_version(v_bad)).count() == len(bad)
+    # the undone epoch left the registry → re-applying it is NOT skipped
+    res = apply_batch(spark, t, e1, 1)
+    assert res.get("skipped") is not True
+    assert _state_set(spark, t) == bad
+
+
+def test_rollback_validates_target(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=2)
+    apply_batch(spark, t, _mk(spark, [_ins(1, "a", 1, "a1", 1)]), 0)
+    cur = t.current()
+    with pytest.raises(ValueError):
+        t.rollback(cur.version + 5)
+    assert t.rollback(cur.version).version == cur.version  # no-op
+
+
+def test_rollback_cas_conflict_fails_loudly(spark, tmp_path, monkeypatch):
+    """A writer committing between the rollback's plan and its lease must
+    make the rollback fail with CommitConflictError, not silently undo
+    the racing epoch."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=2)
+    apply_batch(spark, t, _mk(spark, [_ins(1, "a", 1, "a1", 1)]), 0)
+    v1 = t.current().version
+    stale = t.current()
+    apply_batch(spark, t, _mk(spark, [_ins(2, "b", 1, "b1", 2)]), 1)
+    racer = SnapshotTable(t.root)
+    monkeypatch.setattr(racer, "current", lambda: stale)
+    with pytest.raises(CommitConflictError):
+        racer.rollback(v1 - 1)
+
+
+def test_cli_rollback_round_trip(spark, tmp_path, capsys):
+    """CLI verb: rollback --table --to-version restores the snapshot and
+    reports the new forward-rolled version."""
+    from milvus_cdc_spark.streaming.cli import main
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=2)
+    apply_batch(spark, t, _mk(spark, [_ins(1, "a", 1, "a1", 1)]), 0)
+    v_good = t.current().version
+    apply_batch(
+        spark, t, _mk(spark, [_ins(2, "a", 1, None, 3, op="DELETE")]), 1
+    )
+    assert main([
+        "rollback", "--table", t.root, "--to-version", str(v_good),
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["restored_to"] == v_good
+    assert out["version"] == t.current().version
+    assert _state_set(spark, t) == {("a", 1, "a1")}
