@@ -959,7 +959,14 @@ class SnapshotTable:
             raise ValueError(
                 f"rollback target v{to_version} is ahead of CURRENT v{m.version}"
             )
-        old = self.at_version(to_version)
+        try:
+            old = self.at_version(to_version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"rollback target v{to_version} is expired — its manifest "
+                f"was removed by vacuum (retention window); earliest "
+                f"retained versions are visible in {self.meta_dir}"
+            ) from None
         nm = Manifest(
             version=m.version + 1,
             snapshot_id=self._snapshot_id(f"rollback-{to_version}-at-{m.version}"),

@@ -105,6 +105,159 @@ def test_fuzz_apply_matches_sequential_oracle(spark, tmp_path, seed):
     _run_case(spark, tmp_path, seed)
 
 
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_fuzz_patch_stream_converges(spark, tmp_path, seed):
+    """In-order epoch fuzz of OP_PATCH streams: random patch density,
+    delete/upsert mix, DDL kinds, skew, write mode, epoch cuts,
+    committed-epoch replays, and interleaved maintenance. Epochs apply in
+    log order — the WAL regime OP_PATCH's contract requires (a patch must
+    not COMMIT before its anchor's epoch; see schemas.OP_PATCH boundary
+    rule) — and within that regime every other knob is fair game."""
+    rng = random.Random(seed)
+    n = rng.randrange(2000, 4000)
+    knobs = dict(
+        seed=seed,
+        ties_group=1,
+        patch_pct=rng.choice([10, 25, 40]),
+        delete_pct=rng.choice([0, 10, 25]),
+        upsert_pct=rng.choice([20, 50]),
+        n_convs=rng.choice([20, 80]),
+        turns_per_conv=rng.choice([5, 20]),
+        n_hot=rng.choice([1, 3]),
+        hot_pct=rng.choice([0, 30]),
+        evolve=rng.random() < 0.7,
+        drops=rng.random() < 0.6,
+        truncates=rng.random() < 0.4,
+        widens=rng.random() < 0.5,
+        num_partitions=4,
+    )
+    log = generate_changelog(spark, n, **knobs).cache()
+    try:
+        events = [r.asDict() for r in log.collect()]
+        assert any(e["op"] == S.OP_PATCH for e in events), "no patches drawn"
+        want_rows, want_cols = replay(events)
+
+        write_mode = rng.choice(["cow", "mor"])
+        table = SnapshotTable(str(tmp_path / f"patchfuzz{seed}"))
+        table.create(
+            S.TRANSCRIPTS_BASE_COLUMNS,
+            n_buckets=rng.choice([2, 4, 8]),
+            write_mode=write_mode,
+        )
+
+        k = rng.randrange(2, 6)
+        cuts = sorted(rng.sample(range(1, n), k - 1))
+        bounds = list(zip([0] + cuts, cuts + [n]))
+        trace = []
+        for epoch, (lo, hi) in enumerate(bounds):  # in order — see docstring
+            batch = log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+            apply_batch(spark, table, batch, epoch=epoch)
+            trace.append(f"apply[{lo},{hi})@{epoch}")
+            if rng.random() < 0.2:
+                res = apply_batch(spark, table, batch, epoch=epoch)
+                assert res.get("skipped"), (knobs, trace, res)
+                trace.append(f"replay@{epoch}")
+            act = rng.random()
+            if act < 0.20:
+                table.compact(spark)
+                trace.append("compact")
+            elif act < 0.30:
+                table.vacuum(keep_versions=1, min_age_sec=0.0)
+                trace.append("vacuum")
+            elif act < 0.40 and write_mode == "cow":
+                table.convert(spark, "mor")
+                write_mode = "mor"
+                trace.append("convert->mor")
+
+        df = table.read(spark)
+        cols = sorted(df.columns)
+        assert cols == sorted(want_cols), (knobs, trace, cols, want_cols)
+        got = sorted(tuple(r[c] for c in cols) for r in df.collect())
+        want = sorted(tuple(r[c] for c in cols) for r in want_rows)
+        assert got == want, (
+            f"seed={seed} knobs={knobs} mode={write_mode} trace={trace}: "
+            f"{len(got)} vs {len(want)} rows"
+        )
+    finally:
+        log.unpersist()
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+def test_fuzz_rollback_replay_converges(spark, tmp_path, seed):
+    """Random rollbacks interleaved with out-of-order epochs: roll the
+    table back to the version recorded after an earlier epoch, then
+    re-drain every undone epoch (rollback restores the epoch registry, so
+    the re-drain REPLAYS rather than skips), possibly rolling back again
+    later — any interleaving must land on the sequential oracle. No
+    vacuum in this fuzz: rollback targets must stay retained (vacuum
+    expiring old manifests is the documented trade; rollback-after-vacuum
+    raising is covered in test_round4.py)."""
+    rng = random.Random(seed)
+    n = 2500
+    knobs = dict(
+        seed=seed,
+        delete_pct=20,
+        upsert_pct=40,
+        drops=True,
+        evolve=True,
+        truncates=rng.random() < 0.5,
+        widens=rng.random() < 0.5,
+        num_partitions=4,
+    )
+    log = generate_changelog(spark, n, **knobs).cache()
+    try:
+        want_rows, want_cols = replay([r.asDict() for r in log.collect()])
+        write_mode = rng.choice(["cow", "mor"])
+        table = SnapshotTable(str(tmp_path / f"rbfuzz{seed}"))
+        table.create(
+            S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4, write_mode=write_mode
+        )
+
+        k = 5
+        cuts = sorted(rng.sample(range(1, n), k - 1))
+        bounds = list(zip([0] + cuts, cuts + [n]))
+        order = list(range(k))
+        rng.shuffle(order)
+
+        def batch_of(i):
+            lo, hi = bounds[i]
+            return log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+
+        applied: list[int] = []  # bounds-index per epoch (epoch = position)
+        versions: list[int] = []  # table version right after each epoch
+        trace = []
+        for i in order:
+            apply_batch(spark, table, batch_of(i), epoch=len(applied))
+            trace.append(f"apply#{i}@{len(applied)}")
+            applied.append(i)
+            versions.append(table.current().version)
+            if rng.random() < 0.25:
+                table.compact(spark)
+                trace.append("compact")
+            if len(versions) >= 2 and rng.random() < 0.4:
+                j = rng.randrange(0, len(versions) - 1)
+                table.rollback(versions[j])
+                trace.append(f"rollback->v{versions[j]}(post-epoch-{j})")
+                versions = versions[: j + 1]
+                for ep in range(j + 1, len(applied)):
+                    res = apply_batch(spark, table, batch_of(applied[ep]), epoch=ep)
+                    assert not res.get("skipped"), (knobs, trace, ep, res)
+                    versions.append(table.current().version)
+                    trace.append(f"redrain#{applied[ep]}@{ep}")
+
+        df = table.read(spark)
+        cols = sorted(df.columns)
+        assert cols == sorted(want_cols), (knobs, trace, cols, want_cols)
+        got = sorted(tuple(r[c] for c in cols) for r in df.collect())
+        want = sorted(tuple(r[c] for c in cols) for r in want_rows)
+        assert got == want, (
+            f"seed={seed} knobs={knobs} mode={write_mode} trace={trace}: "
+            f"{len(got)} vs {len(want)} rows"
+        )
+    finally:
+        log.unpersist()
+
+
 @pytest.mark.parametrize("seed", [7, 8, 9])
 def test_fuzz_scattered_epochs_converge(spark, tmp_path, seed):
     """Harsher than contiguous slices: every lsn is hash-assigned to an

@@ -527,6 +527,12 @@ def test_rollback_validates_target(spark, tmp_path):
     with pytest.raises(ValueError):
         t.rollback(cur.version + 5)
     assert t.rollback(cur.version).version == cur.version  # no-op
+    # a target expired by vacuum fails with a clear retention error,
+    # not a raw missing-file traceback
+    apply_batch(spark, t, _mk(spark, [_ins(2, "b", 1, "b1", 2)]), 1)
+    t.vacuum(keep_versions=1, min_age_sec=0.0)
+    with pytest.raises(ValueError, match="expired"):
+        t.rollback(cur.version)
 
 
 def test_rollback_cas_conflict_fails_loudly(spark, tmp_path, monkeypatch):
