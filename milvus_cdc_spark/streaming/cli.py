@@ -57,10 +57,17 @@ def _spec_from_args(a, p) -> dict:
     """Task spec from --name/--tasks-dir (registry) or explicit flags."""
     if a.name and a.tasks_dir:
         return TaskRegistry(a.tasks_dir).get(a.name)
+    if a.src_table and a.table and a.checkpoint:
+        # cascade task: tails another SnapshotTable instead of a changelog
+        return {
+            "src_table": a.src_table, "table": a.table,
+            "checkpoint": a.checkpoint, "hop_versions": a.hop_versions,
+        }
     if not (a.log and a.checkpoint and (a.table or a.tables_root)):
         p.error(
-            f"'{a.command}' needs either --name + --tasks-dir or "
-            "--log + --checkpoint + (--table | --tables-root)"
+            f"'{a.command}' needs either --name + --tasks-dir, or "
+            "--log + --checkpoint + (--table | --tables-root), or "
+            "--src-table + --table + --checkpoint (cascade task)"
         )
     spec = {"log": a.log, "checkpoint": a.checkpoint}
     if a.table:
@@ -76,8 +83,25 @@ def _build_task(spark, spec, a):
     """CdcTask or MultiCdcTask from a spec — one code path for every verb
     (the reference's eight verbs manage N-collection tasks identically,
     server/cdc_api.go:26-36)."""
-    from milvus_cdc_spark.streaming.engine import CdcTask, MultiCdcTask
+    from milvus_cdc_spark.streaming.engine import (
+        CascadeTask,
+        CdcTask,
+        MultiCdcTask,
+    )
 
+    if spec.get("src_table"):
+        return CascadeTask(
+            spark,
+            spec["src_table"],
+            spec["table"],
+            spec["checkpoint"],
+            hop_versions=spec.get("hop_versions", a.hop_versions),
+            salt_partitions=spec.get("salt_partitions", a.salt),
+            write_mode=spec.get("write_mode", a.write_mode),
+            auto_compact_files=spec.get(
+                "auto_compact_files", a.auto_compact_files
+            ),
+        )
     kw = dict(
         max_files_per_trigger=spec.get(
             "max_files_per_trigger", a.max_files_per_trigger
@@ -342,21 +366,35 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if a.command == "create" and a.name and a.tasks_dir:
-        if not (a.log and a.checkpoint and (a.table or a.tables_root)):
-            p.error("'create' needs --log, --checkpoint and --table|--tables-root")
-        spec_fields = {
-            "log": a.log, "checkpoint": a.checkpoint,
-            "max_files_per_trigger": a.max_files_per_trigger,
-            "salt_partitions": a.salt, "n_buckets": a.n_buckets,
-            "write_mode": a.write_mode,
-            "auto_compact_files": a.auto_compact_files,
-        }
-        if a.table:
-            spec_fields["table"] = a.table
-        if a.tables_root:
-            spec_fields["tables_root"] = a.tables_root
-            spec_fields["collections"] = _csv(a.collections)
-            spec_fields["excludes"] = _csv(a.excludes) or []
+        if a.src_table:
+            if not (a.table and a.checkpoint):
+                p.error("cascade 'create' needs --src-table, --table and "
+                        "--checkpoint")
+            spec_fields = {
+                "src_table": a.src_table, "table": a.table,
+                "checkpoint": a.checkpoint,
+                "hop_versions": a.hop_versions, "salt_partitions": a.salt,
+                "write_mode": a.write_mode,
+                "auto_compact_files": a.auto_compact_files,
+            }
+        else:
+            if not (a.log and a.checkpoint and (a.table or a.tables_root)):
+                p.error("'create' needs --log, --checkpoint and "
+                        "--table|--tables-root (or --src-table for a "
+                        "cascade task)")
+            spec_fields = {
+                "log": a.log, "checkpoint": a.checkpoint,
+                "max_files_per_trigger": a.max_files_per_trigger,
+                "salt_partitions": a.salt, "n_buckets": a.n_buckets,
+                "write_mode": a.write_mode,
+                "auto_compact_files": a.auto_compact_files,
+            }
+            if a.table:
+                spec_fields["table"] = a.table
+            if a.tables_root:
+                spec_fields["tables_root"] = a.tables_root
+                spec_fields["collections"] = _csv(a.collections)
+                spec_fields["excludes"] = _csv(a.excludes) or []
         spec = TaskRegistry(a.tasks_dir).create(a.name, spec_fields)
     else:
         spec = _spec_from_args(a, p)

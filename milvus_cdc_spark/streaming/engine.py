@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import Any, Callable
 
@@ -190,7 +191,12 @@ class _TaskLifecycle:
         protect = protect or FailProtect()
         deadline = time.time() + timeout_sec
         while True:
-            if self.query is None:
+            if self.query is None or not self.query.isActive:
+                # a query left over from a PREVIOUS completed drain is
+                # terminated — holding onto it would make an in-process
+                # re-drain return instantly without reading anything new;
+                # restarting is free when there is nothing to do (the
+                # availableNow run sees no new input and stops)
                 self.start(available_now=True)
             try:
                 while True:
@@ -698,6 +704,151 @@ class MultiCdcTask(_TaskLifecycle):
                 "epochs_committed": len(m.epochs),
             }
         return out
+
+
+class _LoopQuery:
+    """Duck-typed StreamingQuery over a driver-side poll loop.
+
+    ``CascadeTask``'s source is another SnapshotTable's manifest, not a
+    Spark streaming source, so there is no real StreamingQuery to manage —
+    this shim runs the poll loop on a thread and exposes the three members
+    ``_TaskLifecycle`` actually uses (``awaitTermination``/``stop``/
+    ``isActive``), so the ENTIRE task surface (drain_protected's
+    fail-protect + cross-process pause polling, tail's duration loop,
+    pause/resume, persisted status) works on a cascade unchanged. A loop
+    exception surfaces from ``awaitTermination`` exactly like a
+    StreamingQueryException would, which is what routes it into
+    drain_protected's retry/trip path."""
+
+    def __init__(self, fn: Callable[[threading.Event], None]):
+        self._stop = threading.Event()
+        self._done = threading.Event()
+        self._exc: BaseException | None = None
+
+        def _run():
+            try:
+                fn(self._stop)
+            except BaseException as e:  # surfaced via awaitTermination
+                self._exc = e
+            finally:
+                self._done.set()
+
+        self._thread = threading.Thread(
+            target=_run, name="cascade-loop", daemon=True
+        )
+
+    def start(self) -> "_LoopQuery":
+        self._thread.start()
+        return self
+
+    @property
+    def isActive(self) -> bool:
+        return not self._done.is_set()
+
+    def awaitTermination(self, timeout: float | None = None) -> bool:
+        finished = self._done.wait(timeout)
+        if finished and self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+        return finished
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join()
+        self._exc = None  # a pause() must not raise; drain paths re-raise
+
+
+class CascadeTask(_TaskLifecycle):
+    """Managed second-level replication: tail one SnapshotTable into
+    another through its ``changes()`` diff, as a TASK with the same
+    lifecycle every first-level tail has (create/drain/tail/pause/resume/
+    position, fail-protect, cross-process pause) — the reference's
+    always-on source→target topology (server/cdc_impl.go:213-320 runs
+    replication as a managed task, not a one-shot), where the one-shot
+    ``cascade`` CLI verb is its manual backfill cousin.
+
+    Self-positioning: each hop commits under the SOURCE version as the
+    target epoch (streaming/cascade.py), so the restart position is the
+    target's own max applied epoch — no separate offset log, and a
+    crash-replayed hop lands on the epoch gate and no-ops. availableNow
+    semantics: drain until the target has caught the source's CURRENT,
+    then stop; continuous mode keeps polling the source manifest (an O(1)
+    int read) every ``poll_sec``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src_root: str,
+        table_root: str,
+        checkpoint_dir: str,
+        *,
+        hop_versions: int | None = None,
+        salt_partitions: int | None = None,
+        n_buckets: int | None = None,
+        write_mode: str = "cow",
+        poll_sec: float = 0.5,
+        auto_compact_files: int | None = None,
+    ):
+        self.spark = spark
+        self.src = SnapshotTable(src_root)
+        self.table = SnapshotTable(table_root)
+        if not self.table.exists():
+            sm = self.src.current()
+            self.table.create(
+                [(sm.logical_name(n), t) for n, t in sm.columns],
+                n_buckets=n_buckets or sm.n_buckets,
+                write_mode=write_mode,
+            )
+        self.hop_versions = hop_versions
+        self.salt_partitions = salt_partitions
+        self.poll_sec = poll_sec
+        self.auto_compact_files = auto_compact_files
+        self._init_lifecycle(checkpoint_dir)
+
+    def _position(self) -> int:
+        """Last replicated source version = max applied target epoch
+        (bootstrap's reserved epoch −1 excluded)."""
+        eps = [int(e) for e in self.table.current().epochs if int(e) >= 0]
+        return max(eps) if eps else 0
+
+    def start(self, available_now: bool = False):
+        from milvus_cdc_spark.streaming.cascade import cascade_until_current
+
+        def _loop(stop_event):
+            while not stop_event.is_set():
+                from_v = self._position()
+                if self.src.current().version > from_v:
+                    cascade_until_current(
+                        self.spark,
+                        self.src,
+                        self.table,
+                        from_v,
+                        hop_versions=self.hop_versions,
+                        salt_partitions=self.salt_partitions,
+                    )
+                    self._maybe_compact(self.table)
+                elif available_now:
+                    return
+                else:
+                    stop_event.wait(self.poll_sec)
+
+        self.query = _LoopQuery(_loop).start()
+        self._write_status("Running")
+        return self.query
+
+    def _status_extra(self) -> dict[str, Any]:
+        m = self.table.current()
+        src_v = self.src.current().version
+        pos = self._position()
+        return {
+            "snapshot_id": m.snapshot_id,
+            "table_version": m.version,
+            "epochs_committed": len(m.epochs),
+            "src_version": src_v,
+            "replicated_src_version": pos,
+            "versions_behind": max(0, src_v - pos),
+            "summary": m.summary,
+        }
 
 
 def run_until_drained(

@@ -59,9 +59,16 @@ class TaskRegistry:
         path = self._path(name)
         if os.path.exists(path):
             raise FileExistsError(f"task {name} already exists")
-        for req in ("log", "checkpoint"):
-            if not spec.get(req):
-                raise ValueError(f"task spec missing required field: {req}")
+        if not spec.get("checkpoint"):
+            raise ValueError("task spec missing required field: checkpoint")
+        # first-level tasks tail a changelog ('log'); cascade tasks tail
+        # another SnapshotTable ('src_table') — same verbs either way (the
+        # reference runs source→target replication as a managed task,
+        # server/cdc_impl.go:213-320)
+        if not (spec.get("log") or spec.get("src_table")):
+            raise ValueError("task spec needs 'log' or 'src_table'")
+        if spec.get("src_table") and not spec.get("table"):
+            raise ValueError("cascade task spec needs 'table'")
         # single-table tasks own a 'table'; multi-collection tasks own a
         # 'tables_root' (+ optional 'collections'/'excludes' lists — the
         # reference manages N-collection tasks through the same verbs,
@@ -218,6 +225,19 @@ class TaskRegistry:
                         if k in t
                     }
                 )
+            if spec.get("src_table"):
+                # cascade position: hops commit under the SOURCE version as
+                # the target epoch, so last_epoch IS the last replicated
+                # source version; versions_behind is the replication lag in
+                # source snapshots (the cascade analogue of MQ offset lag)
+                src_cur = os.path.join(spec["src_table"], "meta", "CURRENT")
+                if os.path.exists(src_cur) and t:
+                    with open(src_cur) as f:
+                        src_v = int(f.read().strip())
+                    pos = t["table"].get("last_epoch") or 0
+                    out["src_version"] = src_v
+                    out["replicated_src_version"] = pos
+                    out["versions_behind"] = max(0, src_v - int(pos))
         elif spec.get("tables_root"):
             out["tables"] = {}
             for name, root in sorted(_walk_tables(spec["tables_root"])):
