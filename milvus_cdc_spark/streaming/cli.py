@@ -63,6 +63,15 @@ def _spec_from_args(a, p) -> dict:
             "src_table": a.src_table, "table": a.table,
             "checkpoint": a.checkpoint, "hop_versions": a.hop_versions,
         }
+    if a.src_tables_root and a.tables_root and a.checkpoint:
+        # instance-level cascade: replicate every table under a tree
+        return {
+            "src_tables_root": a.src_tables_root,
+            "tables_root": a.tables_root, "checkpoint": a.checkpoint,
+            "collections": _csv(a.collections),
+            "excludes": _csv(a.excludes) or [],
+            "hop_versions": a.hop_versions,
+        }
     if not (a.log and a.checkpoint and (a.table or a.tables_root)):
         p.error(
             f"'{a.command}' needs either --name + --tasks-dir, or "
@@ -95,6 +104,23 @@ def _build_task(spark, spec, a):
             spec["src_table"],
             spec["table"],
             spec["checkpoint"],
+            hop_versions=spec.get("hop_versions", a.hop_versions),
+            salt_partitions=spec.get("salt_partitions", a.salt),
+            write_mode=spec.get("write_mode", a.write_mode),
+            auto_compact_files=spec.get(
+                "auto_compact_files", a.auto_compact_files
+            ),
+        )
+    if spec.get("src_tables_root"):
+        from milvus_cdc_spark.streaming.engine import MultiCascadeTask
+
+        return MultiCascadeTask(
+            spark,
+            spec["src_tables_root"],
+            spec["tables_root"],
+            spec["checkpoint"],
+            collections=spec.get("collections"),
+            excludes=spec.get("excludes") or (),
             hop_versions=spec.get("hop_versions", a.hop_versions),
             salt_partitions=spec.get("salt_partitions", a.salt),
             write_mode=spec.get("write_mode", a.write_mode),
@@ -193,6 +219,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--fail-window-sec", type=float, default=60.0)
     p.add_argument("--snapshot", help="bootstrap: parquet dir of the initial full load")
     p.add_argument("--src-table", help="cascade: source SnapshotTable root")
+    p.add_argument("--src-tables-root",
+                   help="instance-level cascade: replicate every "
+                        "SnapshotTable under this tree (plain and "
+                        "namespaced) into --tables-root; honors "
+                        "--collections/--excludes")
     p.add_argument("--from-version", type=int, default=None,
                    help="cascade: source version to diff from (default: "
                         "self-position from the target's applied epochs)")
@@ -373,6 +404,19 @@ def main(argv: list[str] | None = None) -> int:
             spec_fields = {
                 "src_table": a.src_table, "table": a.table,
                 "checkpoint": a.checkpoint,
+                "hop_versions": a.hop_versions, "salt_partitions": a.salt,
+                "write_mode": a.write_mode,
+                "auto_compact_files": a.auto_compact_files,
+            }
+        elif a.src_tables_root:
+            if not (a.tables_root and a.checkpoint):
+                p.error("multi-cascade 'create' needs --src-tables-root, "
+                        "--tables-root and --checkpoint")
+            spec_fields = {
+                "src_tables_root": a.src_tables_root,
+                "tables_root": a.tables_root, "checkpoint": a.checkpoint,
+                "collections": _csv(a.collections),
+                "excludes": _csv(a.excludes) or [],
                 "hop_versions": a.hop_versions, "salt_partitions": a.salt,
                 "write_mode": a.write_mode,
                 "auto_compact_files": a.auto_compact_files,

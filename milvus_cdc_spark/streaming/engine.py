@@ -851,6 +851,141 @@ class CascadeTask(_TaskLifecycle):
         }
 
 
+class MultiCascadeTask(_TaskLifecycle):
+    """Instance-level cascade: replicate EVERY SnapshotTable under
+    ``src_tables_root`` (the dst tree of a MultiCdcTask — plain and
+    ``ns.table`` namespaced dirs alike) into ``tables_root``, as ONE
+    managed task. This is the reference's actual deployment shape — one
+    whole Milvus (all collections) replicated into another
+    (server/cdc_impl.go:213-320 iterates the instance's collections;
+    '*'-subscription tasks are the norm, server/cdc_impl.go:1195-1208) —
+    so the cascade surface has to speak it too, with the same
+    ``collections``/``excludes`` subscription model the first-level
+    MultiCdcTask uses.
+
+    Discovery is per poll round: a collection created upstream mid-task
+    starts replicating at the next round (no restart). Per-table hops run
+    CONCURRENTLY on a bounded pool (wall ≈ max per-table diff, not the
+    sum — same shape as MultiCdcTask.apply_multi); each table
+    self-positions from its own target epochs, so tables catch up
+    independently and a crash resumes each exactly where it stopped."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src_tables_root: str,
+        tables_root: str,
+        checkpoint_dir: str,
+        *,
+        collections: list[str] | None = None,
+        excludes: list[str] | tuple = (),
+        hop_versions: int | None = None,
+        salt_partitions: int | None = None,
+        write_mode: str = "cow",
+        poll_sec: float = 0.5,
+        auto_compact_files: int | None = None,
+        max_concurrency: int = 8,
+    ):
+        self.spark = spark
+        self.src_tables_root = src_tables_root
+        self.tables_root = tables_root
+        self.filter = CollectionFilter(collections, excludes)
+        self.hop_versions = hop_versions
+        self.salt_partitions = salt_partitions
+        self.write_mode = write_mode
+        self.poll_sec = poll_sec
+        self.auto_compact_files = auto_compact_files
+        self.max_concurrency = max_concurrency
+        self._init_lifecycle(checkpoint_dir)
+
+    def _pairs(self) -> list[tuple[str, SnapshotTable, SnapshotTable]]:
+        from milvus_cdc_spark.streaming.registry import _walk_tables
+
+        out = []
+        for name, root in _walk_tables(self.src_tables_root):
+            if not self.filter.should_read(name):
+                continue
+            dst = SnapshotTable(
+                os.path.join(self.tables_root, *name.split("."))
+            )
+            out.append((name, SnapshotTable(root), dst))
+        return out
+
+    @staticmethod
+    def _position(dst: SnapshotTable) -> int:
+        eps = [int(e) for e in dst.current().epochs if int(e) >= 0]
+        return max(eps) if eps else 0
+
+    def _hop(self, src: SnapshotTable, dst: SnapshotTable) -> None:
+        from milvus_cdc_spark.streaming.cascade import cascade_until_current
+
+        if not dst.exists():
+            sm = src.current()
+            os.makedirs(os.path.dirname(dst.root), exist_ok=True)
+            dst.create(
+                [(sm.logical_name(n), t) for n, t in sm.columns],
+                n_buckets=sm.n_buckets,
+                write_mode=self.write_mode,
+            )
+        cascade_until_current(
+            self.spark,
+            src,
+            dst,
+            self._position(dst),
+            hop_versions=self.hop_versions,
+            salt_partitions=self.salt_partitions,
+        )
+        self._maybe_compact(dst)
+
+    def start(self, available_now: bool = False):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _loop(stop_event):
+            while not stop_event.is_set():
+                behind = [
+                    (src, dst)
+                    for _name, src, dst in self._pairs()
+                    if not dst.exists()
+                    or src.current().version > self._position(dst)
+                ]
+                if behind:
+                    if len(behind) == 1:
+                        self._hop(*behind[0])
+                    else:
+                        with ThreadPoolExecutor(
+                            max_workers=min(self.max_concurrency, len(behind)),
+                            thread_name_prefix="cascade-hop",
+                        ) as pool:
+                            futs = [
+                                pool.submit(self._hop, s, d) for s, d in behind
+                            ]
+                            for f in futs:  # surface the FIRST failure
+                                f.result()
+                elif available_now:
+                    return
+                else:
+                    stop_event.wait(self.poll_sec)
+
+        self.query = _LoopQuery(_loop).start()
+        self._write_status("Running")
+        return self.query
+
+    def _status_extra(self) -> dict[str, Any]:
+        tables: dict[str, Any] = {}
+        worst = 0
+        for name, src, dst in self._pairs():
+            src_v = src.current().version
+            pos = self._position(dst) if dst.exists() else 0
+            lag = max(0, src_v - pos)
+            worst = max(worst, lag)
+            tables[name] = {
+                "src_version": src_v,
+                "replicated_src_version": pos,
+                "versions_behind": lag,
+            }
+        return {"tables": tables, "versions_behind": worst}
+
+
 def run_until_drained(
     spark: SparkSession,
     changelog_path: str,

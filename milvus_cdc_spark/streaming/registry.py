@@ -62,13 +62,22 @@ class TaskRegistry:
         if not spec.get("checkpoint"):
             raise ValueError("task spec missing required field: checkpoint")
         # first-level tasks tail a changelog ('log'); cascade tasks tail
-        # another SnapshotTable ('src_table') — same verbs either way (the
-        # reference runs source→target replication as a managed task,
+        # another SnapshotTable ('src_table') or a whole table tree
+        # ('src_tables_root') — same verbs either way (the reference runs
+        # source→target replication as a managed task,
         # server/cdc_impl.go:213-320)
-        if not (spec.get("log") or spec.get("src_table")):
-            raise ValueError("task spec needs 'log' or 'src_table'")
+        if not (
+            spec.get("log")
+            or spec.get("src_table")
+            or spec.get("src_tables_root")
+        ):
+            raise ValueError(
+                "task spec needs 'log', 'src_table' or 'src_tables_root'"
+            )
         if spec.get("src_table") and not spec.get("table"):
             raise ValueError("cascade task spec needs 'table'")
+        if spec.get("src_tables_root") and not spec.get("tables_root"):
+            raise ValueError("multi-cascade task spec needs 'tables_root'")
         # single-table tasks own a 'table'; multi-collection tasks own a
         # 'tables_root' (+ optional 'collections'/'excludes' lists — the
         # reference manages N-collection tasks through the same verbs,
@@ -244,6 +253,31 @@ class TaskRegistry:
                 t = self._table_position(root)
                 if t:
                     out["tables"][name] = t
+            if spec.get("src_tables_root"):
+                # multi-cascade: per-table replication lag in source
+                # snapshots, driven by the SOURCE tree (a table not yet
+                # created on the target is wholly behind)
+                worst = 0
+                for name, src_root in sorted(
+                    _walk_tables(spec["src_tables_root"])
+                ):
+                    src_cur = os.path.join(src_root, "meta", "CURRENT")
+                    if not os.path.exists(src_cur):
+                        continue
+                    with open(src_cur) as f:
+                        src_v = int(f.read().strip())
+                    pos = (
+                        out["tables"]
+                        .get(name, {})
+                        .get("table", {})
+                        .get("last_epoch")
+                        or 0
+                    )
+                    lag = max(0, src_v - int(pos))
+                    worst = max(worst, lag)
+                    out["tables"].setdefault(name, {})["versions_behind"] = lag
+                    out["tables"][name]["src_version"] = src_v
+                out["versions_behind"] = worst
             # task-level lag gauge = the WORST per-table lag (the number a
             # replication dashboard alerts on; reference replicate_tt is
             # likewise per-task, server/metrics/metrics.go:107-137)

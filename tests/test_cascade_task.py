@@ -175,8 +175,10 @@ def test_cascade_task_registry_validation(tmp_path):
     reg = TaskRegistry(str(tmp_path / "tasks"))
     with pytest.raises(ValueError, match="'table'"):
         reg.create("bad", {"src_table": "/x", "checkpoint": "/c"})
-    with pytest.raises(ValueError, match="'log' or 'src_table'"):
+    with pytest.raises(ValueError, match="'src_table' or 'src_tables_root'"):
         reg.create("bad2", {"table": "/t", "checkpoint": "/c"})
+    with pytest.raises(ValueError, match="'tables_root'"):
+        reg.create("bad3", {"src_tables_root": "/x", "checkpoint": "/c"})
 
 
 def test_cli_cascade_task_lifecycle(spark, tmp_path, capsys):
@@ -201,3 +203,104 @@ def test_cli_cascade_task_lifecycle(spark, tmp_path, capsys):
     pos = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert pos["versions_behind"] == 0
     assert _state(spark, SnapshotTable(dst)) == _state(spark, a)
+
+
+# ---- instance-level (multi-collection) cascade -------------------------
+
+from milvus_cdc_spark.streaming.engine import MultiCascadeTask
+
+
+def _tree(spark, tmp_path):
+    """Source tree: alpha + gamma at depth 1, ns1.beta namespaced."""
+    root = tmp_path / "srcroot"
+    tabs = {}
+    for name in ("alpha", "gamma", "ns1.beta"):
+        t = SnapshotTable(str(root.joinpath(*name.split("."))))
+        t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=2)
+        tabs[name] = t
+    apply_batch(spark, tabs["alpha"], _mk(spark, [_ev(1, "a1", 1, "A", 1)]), 0)
+    apply_batch(spark, tabs["gamma"], _mk(spark, [_ev(1, "g1", 1, "G", 1)]), 0)
+    apply_batch(spark, tabs["ns1.beta"], _mk(spark, [_ev(1, "b1", 1, "B", 1)]), 0)
+    return str(root), tabs
+
+
+def test_multi_cascade_replicates_whole_tree(spark, tmp_path):
+    src_root, tabs = _tree(spark, tmp_path)
+    task = MultiCascadeTask(
+        spark, src_root, str(tmp_path / "dstroot"), str(tmp_path / "ckpt"),
+        excludes=["gamma"],
+    )
+    assert task.drain_protected(FailProtect(), timeout_sec=300)
+    dst_alpha = SnapshotTable(str(tmp_path / "dstroot" / "alpha"))
+    dst_beta = SnapshotTable(str(tmp_path / "dstroot" / "ns1" / "beta"))
+    assert _state(spark, dst_alpha) == _state(spark, tabs["alpha"])
+    assert _state(spark, dst_beta) == _state(spark, tabs["ns1.beta"])
+    # excluded collection is never materialized on the target
+    assert not (tmp_path / "dstroot" / "gamma").exists()
+    st = task.status()
+    assert st["versions_behind"] == 0
+    assert set(st["tables"]) == {"alpha", "ns1.beta"}
+
+    # upstream moves: one table gets an epoch, a brand-NEW table appears
+    apply_batch(spark, tabs["alpha"], _mk(spark, [
+        _ev(2, "a2", 1, "A2", 2)]), 1)
+    delta = SnapshotTable(str(tmp_path / "srcroot" / "delta"))
+    delta.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=2)
+    apply_batch(spark, delta, _mk(spark, [_ev(1, "d1", 1, "D", 1)]), 0)
+    assert task.status()["versions_behind"] > 0
+    assert task.drain_protected(FailProtect(), timeout_sec=300)
+    assert _state(spark, dst_alpha) == _state(spark, tabs["alpha"])
+    assert _state(
+        spark, SnapshotTable(str(tmp_path / "dstroot" / "delta"))
+    ) == _state(spark, delta)
+
+
+def test_multi_cascade_registry_position_per_table_lag(spark, tmp_path):
+    src_root, tabs = _tree(spark, tmp_path)
+    reg = TaskRegistry(str(tmp_path / "tasks"))
+    reg.create("mc", {
+        "src_tables_root": src_root,
+        "tables_root": str(tmp_path / "dstroot"),
+        "checkpoint": str(tmp_path / "ckpt"),
+    })
+    task = MultiCascadeTask(
+        spark, src_root, str(tmp_path / "dstroot"), str(tmp_path / "ckpt")
+    )
+    assert task.drain_protected(FailProtect(), timeout_sec=300)
+    pos = reg.position("mc")
+    assert pos["versions_behind"] == 0
+    assert all(
+        t["versions_behind"] == 0 for t in pos["tables"].values()
+    )
+    apply_batch(spark, tabs["gamma"], _mk(spark, [
+        _ev(2, "g2", 1, "G2", 2)]), 1)
+    pos = reg.position("mc")
+    assert pos["versions_behind"] > 0
+    assert pos["tables"]["gamma"]["versions_behind"] > 0
+    assert pos["tables"]["alpha"]["versions_behind"] == 0
+
+
+def test_cli_multi_cascade_lifecycle(spark, tmp_path, capsys):
+    src_root, tabs = _tree(spark, tmp_path)
+    tasks = str(tmp_path / "tasks")
+    common = ["--name", "mc", "--tasks-dir", tasks]
+    assert cli_main([
+        "create", *common, "--src-tables-root", src_root,
+        "--tables-root", str(tmp_path / "dstroot"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--excludes", "gamma", "--master", "local[4]",
+    ]) == 0
+    capsys.readouterr()
+    assert cli_main(["drain", *common, "--master", "local[4]"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["drained"] and out["versions_behind"] == 0
+    assert _state(
+        spark, SnapshotTable(str(tmp_path / "dstroot" / "alpha"))
+    ) == _state(spark, tabs["alpha"])
+    assert not (tmp_path / "dstroot" / "gamma").exists()
+    # maintenance verbs walk the replicated tree too
+    assert cli_main([
+        "compact", *common, "--master", "local[4]",
+    ]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(res) == {"alpha", "ns1.beta"}
