@@ -439,6 +439,101 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE' AND ts >= (SELECT tts FROM t)
 """
 
 
+def _q_cdc_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for dead-letter quarantine (C4/C5 companion — the
+    reference pauses a task on apply error, server/cdc_impl.go:972-1003;
+    ``on_malformed='dlq'`` is the Kafka-Connect/Debezium alternative: one
+    poison message must not stall a 10^10-event stream). The derived
+    changelog is deterministically poisoned — every lsn ≡ 0 (mod 97)
+    loses its conv_id, every lsn ≡ 0 (mod 101) its ts — then applied
+    through the REAL engine in two epochs with quarantine on. Checked:
+    (a) the final table equals the replay of exactly the CLEAN subset —
+    poison rows neither land nor steer bucket routing; (b) the dlq dirs
+    hold exactly the poisoned rows, each with the right ``_reason``."""
+    log = _derive_changelog(spark, sf_dir)
+    poisoned = log.withColumn(
+        "conv_id", F.when(F.col("lsn") % 97 != 0, F.col("conv_id"))
+    ).withColumn("ts", F.when(F.col("lsn") % 101 != 0, F.col("ts")))
+    root = _probe_table_root(sf_dir, "dlq")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    apply_batch(spark, table, poisoned.filter(F.col("lsn") <= mid),
+                epoch=0, on_malformed="dlq")
+    apply_batch(spark, table, poisoned.filter(F.col("lsn") > mid),
+                epoch=1, on_malformed="dlq")
+    live = table.read(spark).select(
+        F.lit("live").alias("src"),
+        "lsn", "conv_id", "turn_idx", "text",
+        F.lit(None).cast("string").alias("reason"),
+    )
+    dlq = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(table.root, "dlq"))
+        .select(
+            F.lit("dlq").alias("src"),
+            "lsn", "conv_id", "turn_idx", "text",
+            F.col("_reason").alias("reason"),
+        )
+    )
+    return live.unionByName(dlq)
+
+
+# live = last-writer replay over the CLEAN subset only; dlq = the poisoned
+# rows verbatim with the engine's reason strings (null ts outranks null key
+# in the reason chain, mirroring apply_batch's when-cascade)
+_ORACLE_DLQ = f"""
+WITH log AS ({_DERIVE_SQL}),
+clean AS (SELECT * FROM log WHERE lsn % 97 <> 0 AND lsn % 101 <> 0),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM clean)
+SELECT 'live' AS src, lsn, conv_id, turn_idx, text,
+       CAST(NULL AS VARCHAR) AS reason
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+UNION ALL
+SELECT 'dlq' AS src, lsn,
+       CASE WHEN lsn % 97 = 0 THEN NULL ELSE conv_id END AS conv_id,
+       turn_idx, text,
+       CASE WHEN lsn % 101 = 0 THEN 'null ts'
+            ELSE 'null key (conv_id/turn_idx)' END AS reason
+FROM log WHERE lsn % 97 = 0 OR lsn % 101 = 0
+"""
+
+
+def _q_cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for the Debezium-envelope source adapter
+    (sources/debezium.py — the public-standard CDC envelope standing in
+    for the reference's replicate-message envelope,
+    core/api/replicate_msg.go:25-30): the derived changelog is ENCODED to
+    Debezium JSON lines (op c/u/d, before/after images, source.lsn,
+    microsecond source.ts_us), then read back through the adapter and
+    applied through the real engine in two epochs. Final state must equal
+    the flagship replay — proving the envelope round trip is lossless
+    (keys, images, ordering identity, ts to the microsecond) and the
+    whole merge pipeline runs unmodified on a Debezium feed."""
+    from milvus_cdc_spark.sources.debezium import read_debezium, to_debezium
+
+    log = _derive_changelog(spark, sf_dir)
+    root = _probe_table_root(sf_dir, "debezium")
+    jdir = os.path.join(root, "envelopes")
+    to_debezium(log).coalesce(4).write.mode("overwrite").text(jdir)
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    dlog = read_debezium(spark, jdir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    apply_batch(spark, table, dlog.filter(F.col("lsn") <= mid), epoch=0)
+    apply_batch(spark, table, dlog.filter(F.col("lsn") > mid), epoch=1)
+    return table.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn"
+    )
+
+
 def _q_cdc_schema_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for WIDEN_COLUMN (Iceberg-spec type promotion;
     reference: schema changes replicate through the op channel,
@@ -1521,6 +1616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_final_state"] = _q_cdc_final_state
     q["cdc_patch"] = _q_cdc_patch
     q["cdc_table_truncate"] = _q_cdc_table_truncate
+    q["cdc_dlq"] = _q_cdc_dlq
+    q["cdc_debezium"] = _q_cdc_debezium
     q["cdc_schema_widen"] = _q_cdc_schema_widen
     q["cdc_bootstrap"] = _q_cdc_bootstrap
     q["cdc_table_changes"] = _q_cdc_table_changes
@@ -1779,7 +1876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return d.filter(bucket < rate).select("doc_id", "lang", "source")
     q["doc_sample_stratified"] = doc_sample_stratified
-
     def doc_ngram_jaccard(spark, sf):
         return DD.shingle_jaccard_pairs(
             _t(spark, sf, "documents"), threshold_milli=100, k=2
@@ -1910,6 +2006,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _ORACLE_FINAL_STATE,
         "cdc_patch": _ORACLE_PATCH,
         "cdc_table_truncate": _ORACLE_TABLE_TRUNCATE,
+        # quarantine: final state ≡ clean-subset replay, dlq dir ≡ the
+        # poison set with the engine's reason strings
+        "cdc_dlq": _ORACLE_DLQ,
+        # Debezium envelope encode→decode→apply must land the flagship
+        # final state (lossless round trip) — one oracle pins both paths
+        "cdc_debezium": _ORACLE_FINAL_STATE,
         "cdc_schema_widen": _ORACLE_SCHEMA_WIDEN,
         # bootstrap(old-state) + tail(newer half) must equal the FULL
         # replay — the handover proof, so the flagship oracle is reused

@@ -169,34 +169,56 @@ def _parse_ddl(
     widens: dict[str, str] = {}
     drops: dict[int, str] = {}
     truncate_ts: str | None = None
+    bad: list[tuple[Any, str]] = []  # (row, reason) — caller decides fate
     for r in sorted(rows, key=lambda r: r["lsn"]):
-        arg = json.loads(r["ddl_arg"]) if r["ddl_arg"] else {}
-        if r["op"] == S.OP_ADD_COLUMN:
-            name = arg["column"]
-            typ = arg.get("type", "string")
-            if typ not in _SPARK_TYPES:
-                typ = "string"
-            if name not in seen_adds:
-                seen_adds.add(name)
-                adds.append((name, typ))
-        elif r["op"] == S.OP_RENAME_COLUMN:
-            renames[arg["from"]] = arg["to"]
-        elif r["op"] == S.OP_WIDEN_COLUMN:
-            name, typ = arg["column"], arg.get("type", "")
-            if typ in _SPARK_TYPES and (
-                name not in widens or is_widening(widens[name], typ)
-            ):
-                widens[name] = typ
-        elif r["op"] == S.OP_DROP_PARTITION:
-            part = int(arg.get("part", r["part"]))
-            ts = r["ts"].isoformat(sep=" ")
-            if part not in drops or ts > drops[part]:
-                drops[part] = ts
-        elif r["op"] == S.OP_TRUNCATE:
+        try:
+            arg = json.loads(r["ddl_arg"]) if r["ddl_arg"] else {}
+            if not isinstance(arg, dict):
+                raise ValueError(f"ddl_arg is not an object: {arg!r}")
+        except (json.JSONDecodeError, ValueError) as e:
+            bad.append((r, f"ddl_arg parse error: {e}"))
+            continue
+        try:
+            _apply_one_ddl(
+                r, arg, adds, seen_adds, renames, widens, drops
+            )
+        except (KeyError, TypeError, ValueError) as e:
+            bad.append((r, f"invalid ddl args: {e!r}"))
+            continue
+        if r["op"] == S.OP_TRUNCATE:
             ts = r["ts"].isoformat(sep=" ")
             if truncate_ts is None or ts > truncate_ts:
                 truncate_ts = ts
-    return adds, renames, widens, drops, truncate_ts
+    return adds, renames, widens, drops, truncate_ts, bad
+
+
+def _apply_one_ddl(r, arg, adds, seen_adds, renames, widens, drops) -> None:
+    """One DDL row's effect on the accumulators; raises KeyError/TypeError/
+    ValueError on args that don't fit the op's contract (missing 'column'/
+    'from'/'to', non-integer 'part') — the caller quarantines those."""
+    from milvus_cdc_spark.plans.manifest import _SPARK_TYPES, is_widening
+
+    if r["op"] == S.OP_ADD_COLUMN:
+        name = arg["column"]
+        typ = arg.get("type", "string")
+        if typ not in _SPARK_TYPES:
+            typ = "string"
+        if name not in seen_adds:
+            seen_adds.add(name)
+            adds.append((name, typ))
+    elif r["op"] == S.OP_RENAME_COLUMN:
+        renames[arg["from"]] = arg["to"]
+    elif r["op"] == S.OP_WIDEN_COLUMN:
+        name, typ = arg["column"], arg.get("type", "")
+        if typ in _SPARK_TYPES and (
+            name not in widens or is_widening(widens[name], typ)
+        ):
+            widens[name] = typ
+    elif r["op"] == S.OP_DROP_PARTITION:
+        part = int(arg.get("part", r["part"]))
+        ts = r["ts"].isoformat(sep=" ")
+        if part not in drops or ts > drops[part]:
+            drops[part] = ts
 
 
 def compose_patch_actions(
@@ -581,8 +603,23 @@ def apply_batch(
     *,
     salt_partitions: int | None = None,
     write_lineage: bool = True,
+    on_malformed: str = "fail",
 ) -> dict[str, Any]:
-    """Apply one micro-batch of changelog rows. Idempotent per epoch."""
+    """Apply one micro-batch of changelog rows. Idempotent per epoch.
+
+    ``on_malformed`` decides the fate of poison events — DML rows missing
+    their key (null conv_id/turn_idx), rows missing lsn/ts, and DDL rows
+    whose ``ddl_arg`` doesn't parse or doesn't fit the op's contract:
+
+    - ``"fail"`` (default): raise before anything commits — the task
+      pauses with the reason (the reference's pause-on-error stance,
+      server/cdc_impl.go:972-1003). Without this gate a null-key row
+      would silently merge under a null key.
+    - ``"dlq"``: quarantine them to ``<table>/dlq/epoch-<N>/`` with a
+      ``_reason`` column (the Kafka-Connect/Debezium dead-letter-queue
+      pattern), count them as ``n_dlq``, and apply the rest — one poison
+      message no longer stalls the stream. Idempotent per epoch (the
+      crash-replay overwrites the same directory)."""
     t0 = time.time()
     # ONE manifest load per epoch: the epoch gate, the merge, and the
     # commit all work from this snapshot (single-writer protocol)
@@ -606,8 +643,13 @@ def apply_batch(
     # unknown ops implicitly — this makes the lsn-integrity gate agree
     # with them, so a log carrying a vocabulary this engine doesn't know
     # (e.g. a newer producer) degrades to a skip, not a task kill with a
-    # bogus negative duplicate count.
-    batch_df = batch_df.filter(F.col("op").isin(*S.ALL_OPS))
+    # bogus negative duplicate count. A NULL op is different: it means the
+    # event didn't parse at all (e.g. the Debezium adapter null-fields
+    # garbage JSON / unknown op codes) — those stay in the batch so the
+    # malformed gate below owns them (fail or dlq), never a silent drop.
+    batch_df = batch_df.filter(
+        F.col("op").isin(*S.ALL_OPS) | F.col("op").isNull()
+    )
     # NOTE: deliberately NOT persisted — the batch is a columnar parquet
     # scan, and each pass below reads a narrow column subset with pushdown
     # (op-only for DDL, 4 cols for lineage, full payload once for dedup).
@@ -624,27 +666,99 @@ def apply_batch(
     # throughput)
     nb = m.n_buckets
     bucket_of = F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
+    # structurally malformed events, detected inside the SAME bookkeeping
+    # scan (zero extra cost on the clean path): every event needs (lsn, ts)
+    # — the ordering identity — and a DML event needs its key. Excluded
+    # from every class counter and the touched-bucket set so a quarantined
+    # row can't steer the merge (xxhash64(null conv_id) is NOT null — it
+    # would touch a spurious bucket).
+    is_dml = F.col("op").isin(*S.DML_OPS)
+    malformed = (
+        F.col("op").isNull()
+        | F.col("lsn").isNull()
+        | F.col("ts").isNull()
+        | (is_dml & (F.col("conv_id").isNull() | F.col("turn_idx").isNull()))
+    )
+    ok = ~malformed
     per_part = (
         batch_df.groupBy("part")
         .agg(
             F.min("lsn").alias("start_lsn"),
             F.max("lsn").alias("end_lsn"),
-            F.sum(F.when(F.col("op").isin(S.OP_INSERT, S.OP_UPSERT), 1).otherwise(0)).alias("n_insert"),
-            F.sum(F.when(F.col("op") == S.OP_PATCH, 1).otherwise(0)).alias("n_patch"),
-            F.sum(F.when(F.col("op") == S.OP_DELETE, 1).otherwise(0)).alias("n_delete"),
-            F.sum(F.when(F.col("op").isin(*S.DDL_OPS), 1).otherwise(0)).alias("n_ddl"),
+            F.sum(F.when(ok & F.col("op").isin(S.OP_INSERT, S.OP_UPSERT), 1).otherwise(0)).alias("n_insert"),
+            F.sum(F.when(ok & (F.col("op") == S.OP_PATCH), 1).otherwise(0)).alias("n_patch"),
+            F.sum(F.when(ok & (F.col("op") == S.OP_DELETE), 1).otherwise(0)).alias("n_delete"),
+            F.sum(F.when(ok & F.col("op").isin(*S.DDL_OPS), 1).otherwise(0)).alias("n_ddl"),
+            F.sum(F.when(malformed, 1).otherwise(0)).alias("n_malformed"),
             F.collect_set(
-                F.when(F.col("op").isin(*S.DML_OPS), bucket_of)
+                F.when(ok & is_dml, bucket_of)
             ).alias("buckets"),
             F.collect_list(
                 F.when(
-                    F.col("op").isin(*S.DDL_OPS),
+                    ok & F.col("op").isin(*S.DDL_OPS),
                     F.struct("lsn", "op", "ts", "part", "ddl_arg"),
                 )
             ).alias("ddl"),
         )
         .collect()
     )
+    ddl_rows = [d for r in per_part for d in r["ddl"]]
+    adds, renames, new_widens, new_drops, new_truncate, bad_ddl = _parse_ddl(
+        ddl_rows
+    )
+    touched = sorted({b for r in per_part for b in r["buckets"]})
+    n_insert = sum(r["n_insert"] for r in per_part)
+    n_patch = sum(r["n_patch"] for r in per_part)
+    n_delete = sum(r["n_delete"] for r in per_part)
+    n_ddl = sum(r["n_ddl"] for r in per_part) - len(bad_ddl)
+    n_malformed = sum(r["n_malformed"] for r in per_part)
+    n_dlq = n_malformed + len(bad_ddl)
+    if n_dlq:
+        if on_malformed != "dlq":
+            sample = "; ".join(reason for _r, reason in bad_ddl[:3])
+            raise ValueError(
+                f"epoch {epoch}: {n_dlq} malformed event(s) in batch "
+                f"({n_malformed} missing op/lsn/ts/key, {len(bad_ddl)} bad DDL"
+                f"{': ' + sample if sample else ''}) — pass "
+                "on_malformed='dlq' to quarantine them and continue"
+            )
+        dlq_dir = os.path.join(table.root, "dlq", f"epoch-{epoch}")
+        reason_col = (
+            F.when(F.col("op").isNull(), "null op (unparseable event)")
+            .when(F.col("lsn").isNull(), "null lsn")
+            .when(F.col("ts").isNull(), "null ts")
+            .otherwise("null key (conv_id/turn_idx)")
+        )
+        if n_malformed:
+            (
+                batch_df.filter(malformed)
+                .withColumn("_reason", reason_col)
+                .write.mode("overwrite")
+                .parquet(dlq_dir)
+            )
+            batch_df = batch_df.filter(ok)
+        if bad_ddl:
+            # bad DDL rows are already on the driver (the bookkeeping scan
+            # collected them) — a pyarrow write, no Spark job
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(dlq_dir, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "lsn": pa.array([r["lsn"] for r, _ in bad_ddl], pa.int64()),
+                        "ts": pa.array([r["ts"] for r, _ in bad_ddl], pa.timestamp("us")),
+                        "part": pa.array([r["part"] for r, _ in bad_ddl], pa.int32()),
+                        "op": pa.array([r["op"] for r, _ in bad_ddl], pa.string()),
+                        "ddl_arg": pa.array([r["ddl_arg"] for r, _ in bad_ddl], pa.string()),
+                        "_reason": pa.array([why for _, why in bad_ddl], pa.string()),
+                    }
+                ),
+                os.path.join(dlq_dir, "bad-ddl.parquet"),
+            )
+            bad_lsns = [r["lsn"] for r, _ in bad_ddl]
+            batch_df = batch_df.filter(~F.col("lsn").isin(bad_lsns))
     # GLOBAL distinct-lsn count as its OWN job: a distinct aggregate mixed
     # into the per-part agg plans with an Expand that duplicates every row
     # through the (wider) bookkeeping scan — measured 3.5-7x slower than
@@ -655,16 +769,11 @@ def apply_batch(
     # job (it gates the COMMIT, not the plan — measured 0.2-1.4s/epoch of
     # pure wall win; a corrupt batch may waste one merge's compute, but
     # its epoch never commits and the e{N} dir is overwritten on retry).
+    # Submitted AFTER quarantine so the count sees the same rows the
+    # classes counted.
     n_distinct_fut = _GATE_POOL.submit(
-        lambda: batch_df.agg(F.count_distinct("lsn")).collect()[0][0]
+        lambda df=batch_df: df.agg(F.count_distinct("lsn")).collect()[0][0]
     )
-    ddl_rows = [d for r in per_part for d in r["ddl"]]
-    adds, renames, new_widens, new_drops, new_truncate = _parse_ddl(ddl_rows)
-    touched = sorted({b for r in per_part for b in r["buckets"]})
-    n_insert = sum(r["n_insert"] for r in per_part)
-    n_patch = sum(r["n_patch"] for r in per_part)
-    n_delete = sum(r["n_delete"] for r in per_part)
-    n_ddl = sum(r["n_ddl"] for r in per_part)
     n_events = n_insert + n_patch + n_delete + n_ddl
     tp = _mark("lineage_ddl_buckets", tp)
 
@@ -926,6 +1035,7 @@ def apply_batch(
                     "n_insert": pa.array([n_insert], pa.int64()),
                     "n_delete": pa.array([n_delete], pa.int64()),
                     "n_ddl": pa.array([n_ddl], pa.int64()),
+                    "n_dlq": pa.array([n_dlq], pa.int64()),
                     "n_keys": pa.array([n_keys], pa.int64()),
                     "max_ts": pa.array([max_ts], pa.timestamp("us")),
                     "apply_sec": pa.array([now - t0], pa.float64()),
@@ -946,7 +1056,11 @@ def apply_batch(
         widen_columns=new_widens,
         drop_watermarks=new_drops,
         truncate_watermark=new_truncate,
-        summary_delta={"events_applied": n_events},
+        summary_delta=(
+            {"events_applied": n_events, "events_quarantined": n_dlq}
+            if n_dlq
+            else {"events_applied": n_events}
+        ),
         base=m,
     )
     if os.environ.get("CDC_TIMINGS"):
@@ -960,6 +1074,7 @@ def apply_batch(
         "n_insert": n_insert,
         "n_delete": n_delete,
         "n_ddl": n_ddl,
+        "n_dlq": n_dlq,
         "n_keys_live_in_touched": n_keys,
         "touched_buckets": sorted(touched),
         "snapshot_id": snap_id,

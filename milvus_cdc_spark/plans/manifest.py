@@ -1046,3 +1046,111 @@ class SnapshotTable:
             "freed_bytes": freed,
             "expired_manifests": expired,
         }
+
+    # ---- dead-letter queue (quarantined poison events) -------------------
+    # apply_batch(on_malformed='dlq') lands rejects under
+    # <root>/dlq/epoch-<N>/ with a ``_reason`` column (the Kafka-Connect/
+    # Debezium DLQ pattern; the reference instead pauses the whole task,
+    # server/cdc_impl.go:972-1003). All three verbs are driver-side pyarrow
+    # — DLQ volume is exception-scale, never data-scale. The module-level
+    # ``dlq_*_dir`` functions serve any reject directory (a MultiCdcTask
+    # also keeps a TASK-level one at <tables_root>/_dlq for events whose
+    # table_name itself is null — unroutable to any per-table dlq).
+
+    @property
+    def dlq_dir(self) -> str:
+        return os.path.join(self.root, "dlq")
+
+    def dlq_summary(self) -> dict[str, dict[str, int]]:
+        """Per-epoch quarantine counts by reason:
+        ``{"epoch-3": {"null ts": 2, "null key (conv_id/turn_idx)": 1}}``."""
+        return dlq_summary_dir(self.dlq_dir)
+
+    def dlq_replay(self, log_dir: str, purge: bool = True) -> dict[str, int]:
+        """Move quarantined events back into a changelog directory — the
+        DLQ reprocess loop: inspect, repair the parquet in place (or fix
+        the producer), then replay. Each epoch's rejects become ONE new
+        log file named ``dlq-replay-<table>-<epoch>.parquet`` (stable name
+        → idempotent against a crashed replay), with ``_reason`` dropped;
+        the tailing task picks them up as an ordinary file-source trigger.
+        Rows still malformed simply re-quarantine on the next apply —
+        replay can never corrupt the table. Original lsn/ts are preserved,
+        so repaired rows merge at their true ordering position
+        (last-writer-wins is replay-order-independent)."""
+        tag = os.path.basename(os.path.normpath(self.root))
+        return dlq_replay_dir(self.dlq_dir, log_dir, tag, purge=purge)
+
+    def dlq_purge(self) -> dict[str, int]:
+        """Drop all quarantined events (after inspection or replay)."""
+        return dlq_purge_dir(self.dlq_dir)
+
+
+def _dlq_files(dlq_dir: str) -> list[tuple[str, str]]:
+    """(epoch-dirname, absolute parquet path) pairs, sorted."""
+    if not os.path.isdir(dlq_dir):
+        return []
+    out = []
+    for ep in sorted(os.listdir(dlq_dir)):
+        epd = os.path.join(dlq_dir, ep)
+        if not os.path.isdir(epd):
+            continue
+        for fn in sorted(os.listdir(epd)):
+            if fn.endswith(".parquet"):
+                out.append((ep, os.path.join(epd, fn)))
+    return out
+
+
+def dlq_summary_dir(dlq_dir: str) -> dict[str, dict[str, int]]:
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, Counter] = {}
+    for ep, path in _dlq_files(dlq_dir):
+        reasons = pq.read_table(path, columns=["_reason"])
+        out.setdefault(ep, Counter()).update(
+            reasons.column("_reason").to_pylist()
+        )
+    return {ep: dict(c) for ep, c in out.items()}
+
+
+def dlq_replay_dir(
+    dlq_dir: str, log_dir: str, tag: str, purge: bool = True
+) -> dict[str, int]:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(log_dir, exist_ok=True)
+    by_epoch: dict[str, list] = {}
+    for ep, path in _dlq_files(dlq_dir):
+        by_epoch.setdefault(ep, []).append(path)
+    replayed = files = 0
+    for ep, paths in by_epoch.items():
+        tables = [pq.read_table(p).drop_columns(["_reason"]) for p in paths]
+        merged = pa.concat_tables(tables, promote_options="permissive")
+        # normalize timestamps to micros/UTC: Spark lands dlq files with
+        # INT96 ts, which pyarrow surfaces as ns — and a ns/NTZ rewrite is
+        # unreadable by a Spark timestamp schema (nanos unsupported)
+        fields = [
+            f.with_type(pa.timestamp("us", tz="UTC"))
+            if pa.types.is_timestamp(f.type)
+            else f
+            for f in merged.schema
+        ]
+        merged = merged.cast(pa.schema(fields))
+        dst = os.path.join(log_dir, f"dlq-replay-{tag}-{ep}.parquet")
+        tmp = dst + ".inprogress"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, dst)  # atomic: the tail never sees a partial file
+        replayed += merged.num_rows
+        files += 1
+    if purge and replayed:
+        dlq_purge_dir(dlq_dir)
+    return {"replayed_rows": replayed, "files_written": files}
+
+
+def dlq_purge_dir(dlq_dir: str) -> dict[str, int]:
+    n = len(_dlq_files(dlq_dir))
+    if os.path.isdir(dlq_dir):
+        shutil.rmtree(dlq_dir)
+    return {"purged_files": n}

@@ -112,9 +112,12 @@ CHANGELOG_SCHEMA = T.StructType(
 # multiplexed changelog: several collections share one ordered log, each
 # event tagged with its collection (reference: replicate messages for all
 # collections ride shared pchannels, replicate_channel_manager.go:1169-1491)
+# nullable: a null table_name is an UNROUTABLE event — the apply gate
+# classifies it as malformed (fail or task-level DLQ) rather than the
+# schema rejecting it at parse time.
 MULTI_CHANGELOG_SCHEMA = T.StructType(
     list(CHANGELOG_SCHEMA.fields)
-    + [T.StructField("table_name", T.StringType(), False)]
+    + [T.StructField("table_name", T.StringType(), True)]
 )
 
 # --- target table (BASELINE.json input_hint + FIXTURES.md §1) ----------------

@@ -4,6 +4,11 @@ from milvus_cdc_spark.sources.changelog_gen import (
     write_changelog,
 )
 from milvus_cdc_spark.sources.changelog import read_changelog, read_changelog_stream
+from milvus_cdc_spark.sources.debezium import (
+    read_debezium,
+    read_debezium_stream,
+    to_debezium,
+)
 
 __all__ = [
     "generate_changelog",
@@ -11,4 +16,7 @@ __all__ = [
     "write_changelog",
     "read_changelog",
     "read_changelog_stream",
+    "read_debezium",
+    "read_debezium_stream",
+    "to_debezium",
 ]

@@ -136,7 +136,9 @@ def _build_task(spark, spec, a):
         n_buckets=spec.get("n_buckets", a.n_buckets),
         write_mode=spec.get("write_mode", a.write_mode),
         auto_compact_files=spec.get("auto_compact_files", a.auto_compact_files),
+        on_malformed=spec.get("on_malformed", a.on_malformed),
     )
+    kw["source"] = spec.get("source", a.source)
     if spec.get("tables_root"):
         return MultiCdcTask(
             spark,
@@ -194,7 +196,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "create", "drain", "status", "tail", "pause", "resume",
             "delete", "list", "position", "compact", "vacuum", "bootstrap",
-            "convert", "cascade", "pipeline", "rollback",
+            "convert", "cascade", "pipeline", "rollback", "dlq",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -234,6 +236,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="table write mode at create: copy-on-write MERGE "
                         "(resolution-free reads) or merge-on-read deltas "
                         "(O(batch) epoch writes; compact folds)")
+    p.add_argument("--source", choices=["parquet", "debezium"],
+                   default="parquet",
+                   help="changelog encoding: native parquet files, or "
+                        "Debezium-envelope JSON lines (before/after/op/"
+                        "source.lsn, normalized at the scan — "
+                        "sources/debezium.py)")
+    p.add_argument("--on-malformed", choices=["fail", "dlq"], default="fail",
+                   help="poison events (null key/lsn/ts, unparseable "
+                        "ddl_arg): 'fail' pauses the task before anything "
+                        "commits (default); 'dlq' quarantines them to "
+                        "<table>/dlq/epoch-N/ with a _reason column and "
+                        "applies the rest")
     p.add_argument("--auto-compact-files", type=int, default=None,
                    help="compact a table at the next epoch boundary once "
                         "any bucket exceeds this many files (MOR "
@@ -253,6 +267,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="pipeline: chunk token window")
     p.add_argument("--stride", type=int, default=48,
                    help="pipeline: chunk stride")
+    p.add_argument("--replay-to", default=None,
+                   help="dlq: move quarantined events back into this "
+                        "changelog dir (repair-then-reprocess loop); "
+                        "still-malformed rows simply re-quarantine")
+    p.add_argument("--purge", action="store_true",
+                   help="dlq: drop all quarantined events")
     a = p.parse_args(argv)
 
     # ---- registry / filesystem commands (no Spark session) --------------
@@ -278,6 +298,39 @@ def main(argv: list[str] | None = None) -> int:
             "restored_to": a.to_version,
             "snapshot_id": m.snapshot_id,
         }))
+        return 0
+    if a.command == "dlq":
+        # inspect / replay / purge quarantined poison events — covers every
+        # table of a task (single-table or multi-collection tree) PLUS the
+        # task-level _dlq of a multi-collection spec (unroutable null-
+        # table_name events), like the other maintenance verbs. Driver-side
+        # pyarrow; no Spark session.
+        from milvus_cdc_spark.plans.manifest import (
+            SnapshotTable,
+            dlq_purge_dir,
+            dlq_replay_dir,
+            dlq_summary_dir,
+        )
+
+        dirs = [
+            (name, SnapshotTable(root).dlq_dir)
+            for name, root in _task_table_roots(a, p)
+        ]
+        if not a.table:
+            spec = _spec_from_args(a, p)
+            if spec.get("tables_root"):
+                dirs.append(
+                    ("(task)", os.path.join(spec["tables_root"], "_dlq"))
+                )
+        out = {}
+        for name, d in dirs:
+            r: dict = {"summary": dlq_summary_dir(d)}
+            if a.replay_to:
+                r["replay"] = dlq_replay_dir(d, a.replay_to, name)
+            elif a.purge:
+                r["purge"] = dlq_purge_dir(d)
+            out[name] = r
+        print(json.dumps(out))
         return 0
     if a.command == "pause":
         reg = _registry(a)
@@ -432,6 +485,8 @@ def main(argv: list[str] | None = None) -> int:
                 "salt_partitions": a.salt, "n_buckets": a.n_buckets,
                 "write_mode": a.write_mode,
                 "auto_compact_files": a.auto_compact_files,
+                "on_malformed": a.on_malformed,
+                "source": a.source,
             }
             if a.table:
                 spec_fields["table"] = a.table

@@ -274,9 +274,20 @@ class CdcTask(_TaskLifecycle):
         n_buckets: int = 16,
         write_mode: str = "cow",
         auto_compact_files: int | None = None,
+        on_malformed: str = "fail",
+        source: str = "parquet",
     ):
+        if source not in ("parquet", "debezium"):
+            raise ValueError(
+                f"source must be 'parquet' or 'debezium', got {source!r}"
+            )
         self.spark = spark
         self.changelog_path = changelog_path
+        self.on_malformed = on_malformed
+        # 'parquet' = native changelog files; 'debezium' = JSON-lines
+        # Debezium envelopes, normalized to the same schema at the scan
+        # (sources/debezium.py) — everything downstream is identical
+        self.source = source
         self.table = SnapshotTable(table_root)
         if not self.table.exists():
             self.table.create(
@@ -304,19 +315,36 @@ class CdcTask(_TaskLifecycle):
             # swap with identical contents and semantics.
             files = batch_df.inputFiles()
             if files:
-                batch_df = self.spark.read.schema(batch_df.schema).parquet(*files)
+                if self.source == "debezium":
+                    from milvus_cdc_spark.sources.debezium import _normalize
+
+                    batch_df = _normalize(self.spark.read.text(*files))
+                else:
+                    batch_df = self.spark.read.schema(
+                        batch_df.schema
+                    ).parquet(*files)
             apply_batch(
                 self.spark,
                 self.table,
                 batch_df,
                 epoch_id,
                 salt_partitions=self.salt_partitions,
+                on_malformed=self.on_malformed,
             )
             self._maybe_compact(self.table)
 
-        stream = read_changelog_stream(
-            self.spark, self.changelog_path, self.max_files_per_trigger
-        )
+        if self.source == "debezium":
+            from milvus_cdc_spark.sources.debezium import (
+                read_debezium_stream,
+            )
+
+            stream = read_debezium_stream(
+                self.spark, self.changelog_path, self.max_files_per_trigger
+            )
+        else:
+            stream = read_changelog_stream(
+                self.spark, self.changelog_path, self.max_files_per_trigger
+            )
         writer = (
             stream.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", self.checkpoint_dir)
@@ -403,7 +431,14 @@ class CollectionFilter:
                 ex,
                 F.lit(True),
             )
-        return pred | F.col("op").isin(*S.NAMESPACE_OPS)
+        # null table_name must REACH apply_multi's malformed gate (isin/
+        # startswith on NULL yield NULL → the row would silently vanish
+        # here instead of failing loudly or landing in the task dlq)
+        return (
+            pred
+            | F.col("op").isin(*S.NAMESPACE_OPS)
+            | F.col("table_name").isNull()
+        )
 
 
 class MultiCdcTask(_TaskLifecycle):
@@ -455,9 +490,17 @@ class MultiCdcTask(_TaskLifecycle):
         max_concurrency: int = 8,
         write_mode: str = "cow",
         auto_compact_files: int | None = None,
+        on_malformed: str = "fail",
+        source: str = "parquet",
     ):
+        if source not in ("parquet", "debezium"):
+            raise ValueError(
+                f"source must be 'parquet' or 'debezium', got {source!r}"
+            )
         self.spark = spark
         self.changelog_path = changelog_path
+        self.on_malformed = on_malformed
+        self.source = source
         self.tables_root = tables_root
         self.filter = CollectionFilter(collections, excludes)
         self.max_files_per_trigger = max_files_per_trigger
@@ -591,6 +634,7 @@ class MultiCdcTask(_TaskLifecycle):
         info = (
             batch_df.groupBy("table_name")
             .agg(
+                F.count(F.lit(1)).alias("n_all"),
                 F.sum(
                     F.when(~F.col("op").isin(*S.NAMESPACE_OPS), 1).otherwise(0)
                 ).alias("n_rows"),
@@ -606,9 +650,34 @@ class MultiCdcTask(_TaskLifecycle):
             )
             .collect()
         )
+        # events with a NULL table_name are unroutable — without this gate
+        # they'd silently vanish (no per-table slice ever matches NULL).
+        # fail mode raises BEFORE any per-table apply commits; dlq mode
+        # quarantines them at the TASK level (<tables_root>/_dlq/epoch-N —
+        # there is no table to own a per-table dlq) and routes the rest.
+        null_grp = next((r for r in info if r["table_name"] is None), None)
+        if null_grp is not None and null_grp["n_all"]:
+            if self.on_malformed != "dlq":
+                raise ValueError(
+                    f"epoch {epoch_id}: {null_grp['n_all']} event(s) with "
+                    "null table_name — unroutable; pass on_malformed='dlq' "
+                    "to quarantine them and continue"
+                )
+            (
+                batch_df.filter(F.col("table_name").isNull())
+                .withColumn("_reason", F.lit("null table_name"))
+                .write.mode("overwrite")
+                .parquet(
+                    os.path.join(
+                        self.tables_root, "_dlq", f"epoch-{epoch_id}"
+                    )
+                )
+            )
         names: set[str] = set()
         for r in info:
             nm = r["table_name"]
+            if nm is None:
+                continue  # quarantined (or raised) above
             if (r["ns_create"] or r["ns_drop_ts"] is not None) and (
                 self.filter.should_read_namespace(nm)
             ):
@@ -641,6 +710,7 @@ class MultiCdcTask(_TaskLifecycle):
                 df,
                 epoch_id,
                 salt_partitions=self.salt_partitions,
+                on_malformed=self.on_malformed,
             )
             self._maybe_compact(tables[name])
             return res
@@ -672,15 +742,36 @@ class MultiCdcTask(_TaskLifecycle):
         def _apply(batch_df, epoch_id: int):
             files = batch_df.inputFiles()
             if files:  # same plain-reader re-root as CdcTask.start
-                batch_df = self.spark.read.schema(batch_df.schema).parquet(*files)
+                if self.source == "debezium":
+                    from milvus_cdc_spark.sources.debezium import _normalize
+
+                    batch_df = _normalize(
+                        self.spark.read.text(*files), multi_table=True
+                    )
+                else:
+                    batch_df = self.spark.read.schema(
+                        batch_df.schema
+                    ).parquet(*files)
             self.apply_multi(batch_df, epoch_id)
 
-        stream = read_changelog_stream(
-            self.spark,
-            self.changelog_path,
-            self.max_files_per_trigger,
-            multi_table=True,
-        )
+        if self.source == "debezium":
+            from milvus_cdc_spark.sources.debezium import (
+                read_debezium_stream,
+            )
+
+            stream = read_debezium_stream(
+                self.spark,
+                self.changelog_path,
+                self.max_files_per_trigger,
+                multi_table=True,
+            )
+        else:
+            stream = read_changelog_stream(
+                self.spark,
+                self.changelog_path,
+                self.max_files_per_trigger,
+                multi_table=True,
+            )
         writer = (
             stream.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", self.checkpoint_dir)

@@ -170,13 +170,17 @@ def test_collections_apply_concurrently(spark, tmp_path, monkeypatch):
     inflight = {"now": 0, "max": 0}
     lock = threading.Lock()
 
+    spans = []
+
     def fake_apply(spark_, table, df, epoch, **kw):
         with lock:
             inflight["now"] += 1
             inflight["max"] = max(inflight["max"], inflight["now"])
+        s = time.time()
         time.sleep(0.25)
         with lock:
             inflight["now"] -= 1
+            spans.append((s, time.time()))
         return {"epoch": epoch, "skipped": False}
 
     monkeypatch.setattr(engine, "apply_batch", fake_apply)
@@ -189,12 +193,13 @@ def test_collections_apply_concurrently(spark, tmp_path, monkeypatch):
          f"t{i}")
         for i in range(4)
     ]
-    wall0 = time.time()
     task.apply_multi(spark.createDataFrame(rows, S.MULTI_CHANGELOG_SCHEMA), 0)
-    wall = time.time() - wall0
     assert inflight["max"] >= 2, "per-collection applies never overlapped"
-    # 4 tables x 0.25s sleep: serial would be >= 1.0s of sleep alone
-    assert wall < 0.9, f"fanout looks serialized: {wall:.2f}s"
+    # serialization check on the SLEEP SPAN only (total wall includes the
+    # pre-pool bookkeeping Spark job, which is host-load-sensitive): four
+    # 0.25s sleeps back-to-back would span >= 1.0s; overlapped, ~0.25s
+    span = max(e for _s, e in spans) - min(s for s, _e in spans)
+    assert span < 0.8, f"fanout looks serialized: sleep span {span:.2f}s"
 
 
 def test_multi_task_lifecycle_status(spark, tmp_path):
