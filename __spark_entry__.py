@@ -1876,6 +1876,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return d.filter(bucket < rate).select("doc_id", "lang", "source")
     q["doc_sample_stratified"] = doc_sample_stratified
+
+    def doc_decontaminate(spark, sf):
+        # benchmark decontamination (operators/dedup.py::decontaminate):
+        # docs with doc_id ≡ 0 (mod 37) stand in for the eval set; a
+        # training doc is contaminated if it shares any 3-token shingle
+        # with any benchmark doc. Benchmark shingle set broadcasts; the
+        # corpus streams through one scan (the 100 TB shape).
+        d = _t(spark, sf, "documents")
+        return DD.decontaminate(
+            d.filter(F.col("doc_id") % 37 != 0),
+            d.filter(F.col("doc_id") % 37 == 0),
+            k=3,
+        )
+    q["doc_decontaminate"] = doc_decontaminate
+
+    def doc_pii_redact(spark, sf):
+        # PII scrub (functions/text.py::redact_pii): the corpus text is
+        # deterministically AUGMENTED with one email/IP/phone per doc
+        # (synthetic docs carry none) so the redaction does real work,
+        # then scrubbed with the portable regexp_replace chain; counts
+        # are taken sequentially on the progressively-redacted text.
+        d = _t(spark, sf, "documents")
+        aug = F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        )
+        return d.select(
+            "doc_id",
+            TXT.redact_pii(aug).alias("clean_text"),
+            *TXT.pii_counts(aug),
+        )
+    q["doc_pii_redact"] = doc_pii_redact
+
+    def doc_repetition_stats(spark, sf):
+        # Gopher-style repetition signals: within-doc duplicate-token
+        # ratio (x1000, functions/text.py) + the hottest bigram's count
+        # (explode → two partial-agg groupBys; the shuffle carries one
+        # row per distinct (doc, bigram), never raw text)
+        d = _t(spark, sf, "documents")
+        toks = d.select(
+            "doc_id",
+            TXT.token_count(F.col("text")).alias("n_tokens"),
+            TXT.dup_token_ratio_milli(F.col("text")).alias(
+                "dup_token_ratio_milli"
+            ),
+            TXT.tokens(F.col("text")).alias("toks"),
+        )
+        from milvus_cdc_spark.caching import default_scope
+
+        toks = default_scope().persist(toks)
+        top = (
+            toks.select(
+                "doc_id",
+                F.explode(
+                    TXT.shingles_from_tokens(F.col("toks"), 2)
+                ).alias("bg"),
+            )
+            .filter(F.col("bg") != "")
+            .groupBy("doc_id", "bg")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("doc_id")
+            .agg(F.max("cnt").alias("top_bigram_count"))
+        )
+        return (
+            toks.select("doc_id", "n_tokens", "dup_token_ratio_milli")
+            .join(top, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_tokens",
+                "dup_token_ratio_milli",
+                F.coalesce("top_bigram_count", F.lit(0)).alias(
+                    "top_bigram_count"
+                ),
+            )
+        )
+    q["doc_repetition_stats"] = doc_repetition_stats
+
     def doc_ngram_jaccard(spark, sf):
         return DD.shingle_jaccard_pairs(
             _t(spark, sf, "documents"), threshold_milli=100, k=2
@@ -2180,6 +2262,79 @@ def oracle_sql() -> dict[str, str]:
                                   1, 15))::BIGINT % 1000
                   < CASE WHEN lang = 'en' THEN 500
                          WHEN lang = 'de' THEN 800 ELSE 200 END""",
+        # decontamination: same staged-shingle chain as the dedup family
+        # (k=3, per-doc distinct), benchmark = doc_id ≡ 0 (mod 37)
+        "doc_decontaminate": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct(
+                     CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks)-1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE [array_to_string(toks, ' ')] END)) AS shingle
+                   FROM t),
+            bench AS (SELECT DISTINCT shingle FROM sh
+                      WHERE doc_id % 37 = 0 AND shingle <> '')
+            SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM sh s JOIN bench USING (shingle)
+            WHERE s.doc_id % 37 <> 0 AND s.shingle <> ''
+            GROUP BY s.doc_id""",
+        # sequential count-then-redact per category, mirroring
+        # functions/text.py::PII_PATTERNS order (RE2 and Java agree on
+        # this pattern subset); DuckDB regexp_replace needs the 'g' flag
+        # (Spark replaces all matches by default)
+        "doc_pii_redact": r"""
+            WITH aug AS (SELECT doc_id,
+              text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com from 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-01'
+                   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t0
+            FROM documents),
+            s1 AS (SELECT doc_id,
+              len(regexp_extract_all(t0,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              regexp_replace(t0,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t1
+            FROM aug),
+            s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t1,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+              regexp_replace(t1,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                  '<IP>', 'g') AS t2
+            FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_ip,
+              len(regexp_extract_all(t2, '\b\d{3}-\d{4}\b')) AS n_phone,
+              regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g')
+                  AS clean_text
+            FROM s2)
+            SELECT doc_id, clean_text,
+                   CAST(n_email AS INT) AS n_email,
+                   CAST(n_ip AS INT) AS n_ip,
+                   CAST(n_phone AS INT) AS n_phone
+            FROM s3""",
+        # raw (non-distinct) bigram counts — repetition is the signal
+        "doc_repetition_stats": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            big AS (SELECT doc_id, unnest(
+                    CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])
+                      ELSE [array_to_string(toks, ' ')] END) AS bg
+                 FROM t),
+            cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM big
+                    WHERE bg <> '' GROUP BY doc_id, bg),
+            top AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM cnt
+                    GROUP BY doc_id)
+            SELECT t.doc_id,
+              CAST(len(toks) AS INT) AS n_tokens,
+              CAST(CASE WHEN len(toks) > 0
+                   THEN floor((len(toks) - len(list_distinct(toks))) * 1000
+                              / len(toks))
+                   ELSE 0 END AS BIGINT) AS dup_token_ratio_milli,
+              CAST(COALESCE(top.top_bigram_count, 0) AS BIGINT)
+                  AS top_bigram_count
+            FROM t LEFT JOIN top USING (doc_id)""",
         "doc_ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
             s AS (SELECT doc_id,

@@ -234,3 +234,58 @@ def simhash64(c: Column, bits: int = 32) -> Column:
     return simhash_from_hashes(
         F.transform(tokens(c), lambda t: portable_hash64(t)), bits
     )
+
+
+# ---- PII redaction ---------------------------------------------------------
+# (category, pattern, replacement) — applied IN ORDER, each category's
+# match count taken on the text as it stands after the previous category's
+# redaction (so an address inside an already-redacted span never double
+# counts). Patterns restricted to the regex subset Java (Spark) and RE2
+# (DuckDB) implement identically: no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace email / IPv4 / phone-shaped spans with typed placeholders —
+    the pre-training privacy scrub. Pure ``regexp_replace`` chain: JVM
+    regex in whole-stage codegen, zero Python, and the pattern subset is
+    chosen for bit-identical behavior in the DuckDB (RE2) oracle."""
+    out = c
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(c: Column) -> list[Column]:
+    """Per-category redaction counts as ``n_<category>`` int columns,
+    counted sequentially on the progressively-redacted text (mirrors
+    redact_pii exactly)."""
+    cols = []
+    cur = c
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("int")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return cols
+
+
+def dup_token_ratio_milli(c: Column) -> Column:
+    """Within-document token repetition, x1000 (integer so the oracle
+    hash is exact): ``floor((n_tokens - n_distinct_tokens) * 1000 /
+    n_tokens)``; 0 for empty documents. The Gopher-style repetition
+    signal used to drop boilerplate/spam before training."""
+    toks = tokens(c)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return (
+        F.when(n > 0, F.floor((n - nd) * 1000 / n))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )

@@ -847,3 +847,52 @@ def duplicate_clusters(
         "cluster_size",
         (F.col("id") == F.col("lab")).alias("is_keeper"),
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: CacheScope | None = None,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag every TRAINING document that shares
+    at least one k-token shingle with any document of an eval/benchmark
+    set — the standard pre-training hygiene step (the reference has no
+    text ops; this is the training-pipeline operator the build brief
+    requires, spec'd for an exact DuckDB mirror).
+
+    Returns ``(doc_id, n_hits)`` for contaminated training docs only,
+    where ``n_hits`` counts the DISTINCT training-doc shingles that also
+    occur anywhere in the benchmark (per-doc shingles are deduped, so the
+    count is insensitive to in-document repetition).
+
+    100 TB shape: the benchmark side is eval-set-sized (thousands of
+    docs), so its distinct shingle set broadcast-hash-joins against ONE
+    streaming scan of the corpus; the only shuffle carries the already
+    partially-aggregated (doc_id, hits) pairs of contaminated docs. Pass
+    ``broadcast_bench=False`` for an unusually large benchmark and the
+    plan degrades to a shuffle join, never a cartesian. ``k=3`` keeps the
+    probe meaningful on short synthetic docs; production decontamination
+    typically runs k=8..13 over the same plan.
+    """
+    scope = scope or default_scope()
+    tsh = _shingle_df(train, k, text_col, id_col, scope)
+    bsh = _shingle_df(bench, k, text_col, id_col, scope)
+    bench_shingles = (
+        bsh.select(F.explode("sh").alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_shingles = F.broadcast(bench_shingles)
+    return (
+        tsh.select("id", F.explode("sh").alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .join(bench_shingles, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("id").alias(id_col), "n_hits")
+    )
