@@ -104,21 +104,24 @@ def main() -> None:
     n_epochs = len(task.table.current().epochs)
     final_rows = task.table.read(spark).count()
 
-    # merge-on-read twin over the SAME log (single rep: mode-vs-mode is
-    # the comparison of interest; run-to-run variance evidence lives in
-    # the cow reps above). Final row count must match cow exactly — the
-    # cross-mode convergence anchor at bench scale.
-    t0 = time.time()
-    mtask = run_until_drained(
-        spark,
-        log_dir,
-        os.path.join(work, "table_mor"),
-        os.path.join(work, "ckpt_mor"),
-        max_files_per_trigger=8,
-        n_buckets=16,
-        write_mode="mor",
-    )
-    mor_sec = time.time() - t0
+    # merge-on-read twin over the SAME log, best-of-2 like the headline
+    # (single-rep drains on this host vary up to ~2x run-to-run, which
+    # read as fake mode regressions round-over-round). Final row count
+    # must match cow exactly — the cross-mode convergence anchor.
+    mor_reps = []
+    for rep in range(2):
+        t0 = time.time()
+        mtask = run_until_drained(
+            spark,
+            log_dir,
+            os.path.join(work, f"table_mor{rep}"),
+            os.path.join(work, f"ckpt_mor{rep}"),
+            max_files_per_trigger=8,
+            n_buckets=16,
+            write_mode="mor",
+        )
+        mor_reps.append(time.time() - t0)
+    mor_sec = min(mor_reps)
     mor_rows = mtask.table.read(spark).count()
 
     # partial-update twin (single rep, additive side metric — the headline
@@ -135,16 +138,19 @@ def main() -> None:
         patch_log,
         n_files=16,
     )
-    t0 = time.time()
-    ptask = run_until_drained(
-        spark,
-        patch_log,
-        os.path.join(work, "table_patch"),
-        os.path.join(work, "ckpt_patch"),
-        max_files_per_trigger=8,
-        n_buckets=16,
-    )
-    patch_sec = time.time() - t0
+    patch_reps = []
+    for rep in range(2):
+        t0 = time.time()
+        ptask = run_until_drained(
+            spark,
+            patch_log,
+            os.path.join(work, f"table_patch{rep}"),
+            os.path.join(work, f"ckpt_patch{rep}"),
+            max_files_per_trigger=8,
+            n_buckets=16,
+        )
+        patch_reps.append(time.time() - t0)
+    patch_sec = min(patch_reps)
     patch_rows = ptask.table.read(spark).count()
     shutil.rmtree(work, ignore_errors=True)
 
@@ -178,9 +184,11 @@ def main() -> None:
                     "n_epochs": n_epochs,
                     "final_rows": final_rows,
                     "mor_apply_sec": round(mor_sec, 3),
+                    "mor_apply_sec_reps": [round(x, 3) for x in mor_reps],
                     "mor_events_per_sec": round(n_events / mor_sec, 1),
                     "mor_final_rows_match": mor_rows == final_rows,
                     "patch_apply_sec": round(patch_sec, 3),
+                    "patch_apply_sec_reps": [round(x, 3) for x in patch_reps],
                     "patch_events_per_sec": round(n_events / patch_sec, 1),
                     "patch_final_rows": patch_rows,
                     "cpus": cpus,
