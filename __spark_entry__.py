@@ -915,6 +915,83 @@ def _q_doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+# static eval texts for the incremental-decontamination probe: each is 3
+# tokens -> exactly one 3-shingle (the text itself), which collides with a
+# training doc's leading shingle iff lsn ≡ i (mod 13/7/5 by CRT)
+_BENCH_TEXTS = [f"a{i} b{i % 7} c{i % 5}" for i in range(12)]
+
+
+def _q_doc_decontaminate_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENGINE probe: incremental benchmark decontamination over the CDC
+    table via ``changes()`` — the hygiene sibling of
+    ``doc_dedup_incremental``. Bootstrap a contamination store with one
+    full :func:`decontaminate` over the first third of the log, then
+    advance it through TWO incremental rounds
+    (operators/dedup.py::decontaminate_incremental): only the rows
+    changes() reports are ever shingled, joined against the static
+    broadcast benchmark shingle set (bench_shingle_store, hoisted once);
+    retired keys leave the store. Contamination is a pure per-document
+    function of (doc, bench), so unlike dedup there is NO global
+    recompute — a round costs ∝ |changes|. The oracle pins exact
+    equality with one full decontaminate recomputed from scratch over
+    the final snapshot against the same benchmark."""
+    from milvus_cdc_spark.operators.dedup import (
+        bench_shingle_store,
+        decontaminate,
+        decontaminate_incremental,
+    )
+
+    log = _derive_changelog(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    step = hi // 3 + 1
+    root = _probe_table_root(sf_dir, "decontam_incr")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+
+    def corpus(df, *extra):
+        # same 4-token derived text as the minhash sibling: the leading
+        # 3-shingle 'a% b% c%' can equal a bench text; the trailing one
+        # ('b% c% d%') never can — n_hits is 1 for contaminated docs
+        return df.select(
+            *extra,
+            F.concat(
+                "conv_id", F.lit("#"), F.col("turn_idx").cast("string")
+            ).alias("doc_key"),
+            F.concat(
+                F.lit("a"), F.pmod(F.col("lsn"), F.lit(13)).cast("string"),
+                F.lit(" b"), F.pmod(F.col("lsn"), F.lit(7)).cast("string"),
+                F.lit(" c"), F.pmod(F.col("lsn"), F.lit(5)).cast("string"),
+                F.lit(" d"), F.pmod(F.col("lsn"), F.lit(3)).cast("string"),
+            ).alias("text"),
+        )
+
+    bench = spark.createDataFrame(
+        [(f"bench{i}", t) for i, t in enumerate(_BENCH_TEXTS)],
+        "doc_key string, text string",
+    )
+    bench_sh = bench_shingle_store(bench, k=3, id_col="doc_key")
+    apply_batch(spark, table, log.filter(F.col("lsn") < step), epoch=0)
+    store = decontaminate(
+        corpus(table.read(spark)), bench, k=3, id_col="doc_key"
+    )
+    for i in (1, 2):
+        v_prev = table.current().version
+        apply_batch(
+            spark,
+            table,
+            log.filter(
+                (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+            ),
+            epoch=i,
+        )
+        store = decontaminate_incremental(
+            store, bench_sh, corpus(table.changes(spark, v_prev), "change_type")
+        )
+    return store
+
+
 def _q_doc_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe: the END-TO-END training-data pipeline — quality gate
     → exact-dedup keeper → token-window chunking — maintained
@@ -1518,6 +1595,48 @@ SELECT * FROM (
 WHERE jaccard_milli >= 500"""
 
 
+# full decontamination recomputed from scratch over the FINAL snapshot
+# against the same static benchmark — the invariant
+# doc_decontaminate_incremental's bootstrap + N rounds must land on
+# (same derived 4-token corpus as the minhash sibling; bench list is
+# generated from _BENCH_TEXTS so probe and oracle can never drift)
+_ORACLE_DECONTAM_INCREMENTAL = f"""
+WITH log AS ({{_DERIVE_SQL}}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log),
+state AS (SELECT conv_id, turn_idx, lsn FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+corpus AS (SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_key,
+                  'a' || CAST(lsn % 13 AS VARCHAR) ||
+                  ' b' || CAST(lsn % 7 AS VARCHAR) ||
+                  ' c' || CAST(lsn % 5 AS VARCHAR) ||
+                  ' d' || CAST(lsn % 3 AS VARCHAR) AS text
+           FROM state),
+t AS (SELECT doc_key, {{_SQL_TOKS}} AS toks FROM corpus),
+sh AS (SELECT doc_key, unnest(list_distinct(
+         CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [array_to_string(toks, ' ')] END)) AS shingle
+      FROM t),
+bench AS (SELECT unnest([{{_BENCH_LIST}}]) AS shingle)
+SELECT s.doc_key, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM sh s JOIN bench USING (shingle)
+WHERE s.shingle <> ''
+GROUP BY s.doc_key"""
+_ORACLE_DECONTAM_INCREMENTAL = (
+    _ORACLE_DECONTAM_INCREMENTAL
+    .replace("{_DERIVE_SQL}", _DERIVE_SQL)
+    .replace("{_SQL_TOKS}", _SQL_TOKS)
+    .replace(
+        "{_BENCH_LIST}", ", ".join(f"'{t}'" for t in _BENCH_TEXTS)
+    )
+)
+
+
 # ---- portable SQL fragments for the vector family --------------------------
 # Both engines sum elementwise double products sequentially (Spark
 # aggregate/zip_with, DuckDB list_sum/list_transform) → bit-identical
@@ -1623,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_table_changes"] = _q_cdc_table_changes
     q["doc_dedup_incremental"] = _q_doc_dedup_incremental
     q["doc_minhash_incremental"] = _q_doc_minhash_incremental
+    q["doc_decontaminate_incremental"] = _q_doc_decontaminate_incremental
     q["doc_pipeline_incremental"] = _q_doc_pipeline_incremental
     q["cdc_vector_field"] = _q_cdc_vector_field
     q["cdc_vector_search"] = _q_cdc_vector_search
@@ -2102,6 +2222,9 @@ def oracle_sql() -> dict[str, str]:
         # incremental store advance ≡ full recompute over the final state
         "doc_dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         "doc_minhash_incremental": _ORACLE_MINHASH_INCREMENTAL,
+        # incremental decontamination: bootstrap + N changes()-driven
+        # rounds must equal a from-scratch full recompute on final state
+        "doc_decontaminate_incremental": _ORACLE_DECONTAM_INCREMENTAL,
         "doc_pipeline_incremental": _oracle_pipeline_incremental(),
         # vector payload round-trip: integrity scalars from the STORED
         # array must equal pure lsn arithmetic on the winning event

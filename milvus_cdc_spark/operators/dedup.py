@@ -896,3 +896,74 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .select(F.col("id").alias(id_col), "n_hits")
     )
+
+
+def bench_shingle_store(
+    bench: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """The eval set's distinct k-shingles — materialize ONCE (eval sets
+    are static by definition; re-shingling them per round would be the
+    only corpus-independent cost, so hoist it)."""
+    scope = scope or default_scope()
+    bsh = _shingle_df(bench, k, text_col, id_col, scope)
+    return (
+        bsh.select(F.explode("sh").alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def decontaminate_incremental(
+    contam_store: DataFrame,
+    bench_shingles: DataFrame,
+    changes: DataFrame,
+    k: int = 3,
+    key_col: str = "doc_key",
+    text_col: str = "text",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Advance a contamination store by a CDC diff — the incremental
+    sibling of :func:`decontaminate`, wired to ``SnapshotTable.changes()``
+    like the dedup family: only the rows the diff reports are ever
+    shingled, joined against the (static, broadcast) benchmark shingle
+    set; deleted/updated keys retire from the store. Contamination is a
+    pure per-document function of (doc, bench) — unlike dedup keepers
+    there is NO global recompute step, so a round costs ∝ |changes|
+    with the store itself only anti-joined on the diff-sized retired set.
+
+    ``contam_store``: (doc_key, n_hits) from a bootstrap
+    :func:`decontaminate` (or a previous round — rounds chain).
+    ``changes``: the changes() contract (change_type ∈
+    insert|update|delete; update rows carry the post-image).
+
+    Invariant (oracle-checked by ``doc_decontaminate_incremental``):
+    bootstrap + N rounds ≡ one full :func:`decontaminate` recomputed
+    from scratch over the final snapshot against the same benchmark.
+    """
+    scope = scope or default_scope()
+    retired = changes.filter(
+        F.col("change_type").isin("delete", "update")
+    ).select(F.col(key_col).alias("doc_key"))
+    fresh = changes.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select(F.col(key_col).alias("doc_key"), F.col(text_col))
+    fresh_sh = _shingle_df(fresh, k, text_col, "doc_key", scope)
+    fresh_hits = (
+        fresh_sh.select("id", F.explode("sh").alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("id").alias("doc_key"), "n_hits")
+    )
+    return (
+        contam_store.select("doc_key", "n_hits")
+        # retired is diff-sized (same broadcast contract as the sibling
+        # incremental stores) — the store streams map-side
+        .join(F.broadcast(retired), "doc_key", "left_anti")
+        .unionByName(fresh_hits)
+    )

@@ -119,3 +119,56 @@ def test_dup_token_ratio(spark, text, want_milli):
         TXT.dup_token_ratio_milli(F.col("text")).alias("m")
     ).collect()[0].m
     assert got == want_milli
+
+
+def test_decontaminate_incremental_matches_full_recompute(spark):
+    """bootstrap + 2 diff rounds == full decontaminate over final state,
+    across every transition: insert-contaminated, insert-clean,
+    update contaminated→clean, update clean→contaminated, delete."""
+    from milvus_cdc_spark.operators.dedup import (
+        bench_shingle_store,
+        decontaminate,
+        decontaminate_incremental,
+    )
+
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox")], "doc_key string, text string"
+    )
+    bench_sh = bench_shingle_store(bench, k=3, id_col="doc_key")
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_key string, text string")
+
+    def ch(rows):
+        return spark.createDataFrame(
+            rows, "change_type string, doc_key string, text string"
+        )
+
+    t0 = [("d1", "saw the quick brown fox"), ("d2", "nothing shared here at all")]
+    store = decontaminate(df(t0), bench, k=3, id_col="doc_key")
+    # round 1: d2 turns contaminated; d3 arrives clean; d4 contaminated
+    r1 = ch([
+        ("update", "d2", "it was the quick brown fox"),
+        ("insert", "d3", "totally unrelated clean words"),
+        ("insert", "d4", "quick brown fox spotted"),
+    ])
+    store = decontaminate_incremental(store, bench_sh, r1, k=3)
+    # round 2: d1 deleted; d4 scrubbed clean
+    r2 = ch([
+        ("delete", "d1", "saw the quick brown fox"),
+        ("update", "d4", "now a completely clean doc"),
+    ])
+    store = decontaminate_incremental(store, bench_sh, r2, k=3)
+
+    final = [
+        ("d2", "it was the quick brown fox"),
+        ("d3", "totally unrelated clean words"),
+        ("d4", "now a completely clean doc"),
+    ]
+    want = sorted(
+        (r.doc_key, r.n_hits)
+        for r in decontaminate(df(final), bench, k=3, id_col="doc_key").collect()
+    )
+    got = sorted((r.doc_key, r.n_hits) for r in store.collect())
+    assert got == want
+    assert [k for k, _ in got] == ["d2"]  # only d2 still contaminated
