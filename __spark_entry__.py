@@ -534,6 +534,78 @@ def _q_cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_debezium_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for the Debezium schema-history adapter
+    (sources/debezium.py::read_debezium_history): the COMPLETE Debezium
+    story — DML rides data-topic envelopes, DDL rides the schema-change
+    topic's structured ``tableChanges`` (no SQL parsing: consecutive
+    per-table column states are diffed into ADD/WIDEN_COLUMN events).
+    Epoch 0 applies the older envelope half at narrow types; epoch 1
+    applies the decoded history stream (ADD score int, WIDEN score and
+    turn_idx → bigint — three ALTER messages encoded by
+    to_debezium_history with full post-statement column lists, exactly
+    Debezium's format); epoch 2 applies the newer envelope half. The
+    final read must type turn_idx bigint (upcasting epoch-0's int32
+    files at scan, metadata-only) and carry the added score column
+    (null — envelopes don't carry the dynamic bag; cdc_schema_widen
+    covers valued promotion on the native log)."""
+    from datetime import datetime
+
+    from milvus_cdc_spark.sources.debezium import (
+        read_debezium,
+        read_debezium_history,
+        to_debezium,
+        to_debezium_history,
+    )
+
+    log = _derive_changelog(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    ts0 = datetime(2024, 1, 1)
+    root = _probe_table_root(sf_dir, "debezium_ddl")
+    env_dir = os.path.join(root, "envelopes")
+    hist_dir = os.path.join(root, "history")
+    to_debezium(log).coalesce(4).write.mode("overwrite").text(env_dir)
+    ddl = [
+        {"lsn": hi + 1, "ts": ts0, "op": S.OP_ADD_COLUMN,
+         "ddl_arg": '{"column":"score","type":"int"}'},
+        {"lsn": hi + 2, "ts": ts0, "op": S.OP_WIDEN_COLUMN,
+         "ddl_arg": '{"column":"score","type":"bigint"}'},
+        {"lsn": hi + 3, "ts": ts0, "op": S.OP_WIDEN_COLUMN,
+         "ddl_arg": '{"column":"turn_idx","type":"bigint"}'},
+    ]
+    to_debezium_history(
+        spark, ddl, S.TRANSCRIPTS_BASE_COLUMNS
+    ).coalesce(1).write.mode("overwrite").text(hist_dir)
+
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    dlog = read_debezium(spark, env_dir)
+    hlog = read_debezium_history(spark, hist_dir)
+    apply_batch(spark, table, dlog.filter(F.col("lsn") <= mid), epoch=0)
+    apply_batch(spark, table, hlog, epoch=1)
+    apply_batch(spark, table, dlog.filter(F.col("lsn") > mid), epoch=2)
+    return table.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn", "score"
+    )
+
+
+# the widened final state with score present-but-null (envelopes carry no
+# dynamic bag; the history stream added+widened it to bigint)
+_ORACLE_DEBEZIUM_DDL = f"""
+WITH log AS ({{_DERIVE_SQL}}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, ts, part, lsn,
+       CAST(NULL AS BIGINT) AS score
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+""".replace("{_DERIVE_SQL}", _DERIVE_SQL)
+
+
 def _q_cdc_schema_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for WIDEN_COLUMN (Iceberg-spec type promotion;
     reference: schema changes replicate through the op channel,
@@ -1737,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_table_truncate"] = _q_cdc_table_truncate
     q["cdc_dlq"] = _q_cdc_dlq
     q["cdc_debezium"] = _q_cdc_debezium
+    q["cdc_debezium_ddl"] = _q_cdc_debezium_ddl
     q["cdc_schema_widen"] = _q_cdc_schema_widen
     q["cdc_bootstrap"] = _q_cdc_bootstrap
     q["cdc_table_changes"] = _q_cdc_table_changes
@@ -2214,6 +2287,9 @@ def oracle_sql() -> dict[str, str]:
         # Debezium envelope encode→decode→apply must land the flagship
         # final state (lossless round trip) — one oracle pins both paths
         "cdc_debezium": _ORACLE_FINAL_STATE,
+        # DML via envelopes + DDL via the structured schema-history topic
+        # must land the widened final state (score added-but-null)
+        "cdc_debezium_ddl": _ORACLE_DEBEZIUM_DDL,
         "cdc_schema_widen": _ORACLE_SCHEMA_WIDEN,
         # bootstrap(old-state) + tail(newer half) must equal the FULL
         # replay — the handover proof, so the flagship oracle is reused

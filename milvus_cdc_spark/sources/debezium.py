@@ -172,3 +172,260 @@ def to_debezium(changelog: DataFrame) -> DataFrame:
         (ts_us / 1000).cast("long").alias("ts_ms"),
     )
     return changelog.select(F.to_json(env).alias("value"))
+
+
+# ---- schema-history topic (structured DDL) ---------------------------------
+# Debezium pairs the data stream with a schema-change topic; since 1.2 its
+# messages carry a STRUCTURED `tableChanges` array (type CREATE/ALTER/DROP
+# + the table's full post-statement column list) alongside the raw `ddl`
+# SQL text. The structured form is what we consume — no SQL parsing — by
+# DIFFING consecutive per-table column states: a name new vs the previous
+# message becomes OP_ADD_COLUMN, a mapped-type change on an existing name
+# becomes OP_WIDEN_COLUMN (the engine's is_widening check still owns
+# legality — an illegal "widen" degrades to the engine's documented
+# no-op). Renames are NOT representable (Debezium history shows them as a
+# dropped+added name; the native changelog carries OP_RENAME_COLUMN
+# directly), and column drops are ignored (the engine has no DROP_COLUMN
+# — extra physical columns are harmless). Reference analogue: schema
+# changes replicate through the op channel (core/reader/etcd_op.go:609-660).
+
+HISTORY_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "source",
+            T.StructType([T.StructField("lsn", T.LongType(), True)]),
+            True,
+        ),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("ddl", T.StringType(), True),
+        T.StructField(
+            "tableChanges",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType(), True),
+                        T.StructField("id", T.StringType(), True),
+                        T.StructField(
+                            "table",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "columns",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField("name", T.StringType(), True),
+                                                    T.StructField("typeName", T.StringType(), True),
+                                                    T.StructField("position", T.IntegerType(), True),
+                                                ]
+                                            )
+                                        ),
+                                        True,
+                                    )
+                                ]
+                            ),
+                            True,
+                        ),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+# public JDBC/Debezium type names → engine column types (plans.manifest.
+# _SPARK_TYPES vocabulary); unknown names degrade to string, mirroring
+# the engine's own ADD_COLUMN degradation
+_TYPE_MAP = {
+    "INT": "int", "INTEGER": "int", "INT4": "int", "SMALLINT": "int",
+    "TINYINT": "int", "MEDIUMINT": "int",
+    "BIGINT": "bigint", "INT8": "bigint",
+    "FLOAT": "float", "REAL": "float", "FLOAT4": "float",
+    "DOUBLE": "double", "FLOAT8": "double", "DOUBLE PRECISION": "double",
+    "VARCHAR": "string", "CHAR": "string", "TEXT": "string",
+    "STRING": "string", "NVARCHAR": "string",
+    "TIMESTAMP": "timestamp", "TIMESTAMPTZ": "timestamp",
+    "DATETIME": "timestamp",
+    "BOOLEAN": "boolean", "BOOL": "boolean",
+}
+
+
+def read_debezium_history(
+    spark: SparkSession, path: str, multi_table: bool = False
+) -> DataFrame:
+    """Batch scan of a schema-history JSON-lines directory → CHANGELOG
+    DDL rows (OP_ADD_COLUMN / OP_WIDEN_COLUMN).
+
+    Per-table consecutive-state diff via one window ``lag`` (the shuffle
+    key is the table id — history topics are DDL-scale, never
+    data-scale). The first message seen for a table (its CREATE) emits
+    nothing: table creation is the engine's job. Multiple columns changed
+    by one statement become lsn, lsn+1, … — valid because history
+    positions are log byte offsets, which advance far faster than one
+    unit per column; the engine's duplicate-lsn gate still protects the
+    composed stream."""
+    from pyspark.sql import Window
+
+    p = F.from_json(F.col("value"), HISTORY_PAYLOAD_SCHEMA)
+    rows = (
+        spark.read.text(path)
+        .select(
+            p["source"]["lsn"].alias("lsn"),
+            F.timestamp_millis(p["ts_ms"]).alias("ts"),
+            F.explode(p["tableChanges"]).alias("tc"),
+        )
+        .filter(F.col("tc")["type"].isin("CREATE", "ALTER"))
+        .select(
+            "lsn",
+            "ts",
+            F.col("tc")["id"].alias("table_id"),
+            F.transform(
+                F.col("tc")["table"]["columns"],
+                lambda c: F.struct(
+                    c["name"].alias("name"),
+                    # inline type mapping over the struct element
+                    _map_type_expr(c["typeName"]).alias("type"),
+                ),
+            ).alias("cols"),
+        )
+    )
+    w = Window.partitionBy("table_id").orderBy("lsn")
+    rows = rows.withColumn("prev", F.lag("cols").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    added = F.filter(
+        F.col("cols"),
+        lambda c: ~F.exists(F.col("prev"), lambda p2: p2["name"] == c["name"]),
+    )
+    widened = F.filter(
+        F.col("cols"),
+        lambda c: F.exists(
+            F.col("prev"),
+            lambda p2: (p2["name"] == c["name"]) & (p2["type"] != c["type"]),
+        ),
+    )
+    events = rows.select(
+        "lsn", "ts", "table_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    added,
+                    lambda c: F.struct(
+                        F.lit(S.OP_ADD_COLUMN).alias("op"),
+                        F.to_json(
+                            F.struct(
+                                c["name"].alias("column"),
+                                c["type"].alias("type"),
+                            )
+                        ).alias("ddl_arg"),
+                    ),
+                ),
+                F.transform(
+                    widened,
+                    lambda c: F.struct(
+                        F.lit(S.OP_WIDEN_COLUMN).alias("op"),
+                        F.to_json(
+                            F.struct(
+                                c["name"].alias("column"),
+                                c["type"].alias("type"),
+                            )
+                        ).alias("ddl_arg"),
+                    ),
+                ),
+            )
+        ).alias("ev"),
+    )
+    # one lsn per emitted event: statement position + in-statement ordinal
+    w2 = Window.partitionBy("table_id", "lsn").orderBy(F.col("ev")["ddl_arg"])
+    out_cols = [
+        (F.col("lsn") + F.row_number().over(w2) - 1).alias("lsn"),
+        F.col("ts"),
+        F.lit(0).alias("part"),
+        F.col("ev")["op"].alias("op"),
+        *[F.lit(None).cast(t).alias(n) for n, t in _IMAGE_FIELDS],
+        F.col("ev")["ddl_arg"].alias("ddl_arg"),
+        F.lit(None).cast("map<string,string>").alias("extra"),
+    ]
+    if multi_table:
+        # strip `"db"."table"` / `db.table` quoting → bare table name
+        out_cols.append(
+            F.regexp_replace(
+                F.element_at(F.split(F.col("table_id"), r"\."), -1),
+                '"', "",
+            ).alias("table_name")
+        )
+    return events.select(*out_cols)
+
+
+def _map_type_expr(type_name: Column) -> Column:
+    base = F.upper(F.regexp_replace(type_name, r"\(.*\)$", ""))
+    out = F.lit("string")
+    for k, v in _TYPE_MAP.items():
+        out = F.when(base == F.lit(k), F.lit(v)).otherwise(out)
+    return out
+
+
+def to_debezium_history(
+    spark: SparkSession,
+    ddl_rows: list,
+    base_columns: list[tuple[str, str]],
+    table_id: str = "transcripts",
+) -> DataFrame:
+    """Inverse encoder for tests/probes: fold engine DDL rows
+    (ADD/WIDEN dicts or Rows, ordered by lsn) over the base column state
+    and emit one history message per statement carrying the FULL
+    post-statement column list (exactly what Debezium's `tableChanges`
+    does), preceded by the table's CREATE message. Driver-side Python —
+    DDL is exception-scale by nature."""
+    import json as _json
+
+    state = list(base_columns)
+    msgs = []
+
+    def msg(lsn, ts, typ):
+        return _json.dumps(
+            {
+                "source": {"lsn": lsn},
+                "ts_ms": int(ts.timestamp() * 1000),
+                "ddl": f"-- {typ} {table_id}",
+                "tableChanges": [
+                    {
+                        "type": typ,
+                        "id": table_id,
+                        "table": {
+                            "columns": [
+                                {
+                                    "name": n,
+                                    "typeName": t.upper(),
+                                    "position": i + 1,
+                                }
+                                for i, (n, t) in enumerate(state)
+                            ]
+                        },
+                    }
+                ],
+            }
+        )
+
+    rows = sorted(
+        (r if isinstance(r, dict) else r.asDict() for r in ddl_rows),
+        key=lambda r: r["lsn"],
+    )
+    first_lsn = rows[0]["lsn"] if rows else 1
+    msgs.append(msg(max(0, first_lsn - 1), rows[0]["ts"], "CREATE") if rows else msg(0, None, "CREATE"))
+    for r in rows:
+        arg = _json.loads(r["ddl_arg"])
+        if r["op"] == S.OP_ADD_COLUMN:
+            state.append((arg["column"], arg.get("type", "string")))
+        elif r["op"] == S.OP_WIDEN_COLUMN:
+            state = [
+                (n, arg["type"]) if n == arg["column"] else (n, t)
+                for n, t in state
+            ]
+        else:
+            raise ValueError(
+                f"history encoder supports ADD/WIDEN_COLUMN only, got {r['op']}"
+            )
+        msgs.append(msg(r["lsn"], r["ts"], "ALTER"))
+    return spark.createDataFrame([(m,) for m in msgs], "value string")

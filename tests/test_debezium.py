@@ -217,3 +217,121 @@ def test_multi_table_envelope_routes_per_table(spark, tmp_path):
     assert [(r.lsn, r._reason) for r in q.collect()] == [
         (3, "null table_name")
     ]
+
+
+def test_schema_history_decodes_add_and_widen(spark, tmp_path):
+    """Structured tableChanges diff → ADD/WIDEN events; the CREATE
+    message emits nothing; a DROP message is ignored; '(n)' length
+    suffixes and unknown type names degrade like the engine does."""
+    from milvus_cdc_spark.sources.debezium import read_debezium_history
+
+    def msg(lsn, typ, cols, tid='"db"."t1"'):
+        return json.dumps({
+            "source": {"lsn": lsn}, "ts_ms": 1700000000000,
+            "ddl": "--", "tableChanges": [{
+                "type": typ, "id": tid,
+                "table": {"columns": [
+                    {"name": n, "typeName": t, "position": i + 1}
+                    for i, (n, t) in enumerate(cols)
+                ]},
+            }],
+        })
+
+    base = [("conv_id", "VARCHAR(64)"), ("turn_idx", "INT")]
+    msgs = [
+        msg(10, "CREATE", base),
+        # one ALTER adds TWO columns -> lsn 20 and 21
+        msg(20, "ALTER", base + [("score", "INT"), ("note", "CLOB")]),
+        # widen turn_idx INT->BIGINT
+        msg(30, "ALTER",
+            [("conv_id", "VARCHAR(64)"), ("turn_idx", "BIGINT"),
+             ("score", "INT"), ("note", "CLOB")]),
+        msg(40, "DROP", []),
+    ]
+    d = tmp_path / "hist"
+    os.makedirs(d)
+    (d / "a.json").write_text("\n".join(msgs))
+    rows = sorted(
+        read_debezium_history(spark, str(d)).collect(), key=lambda r: r.lsn
+    )
+    assert [(r.lsn, r.op, r.ddl_arg) for r in rows] == [
+        (20, "ADD_COLUMN", '{"column":"note","type":"string"}'),
+        (21, "ADD_COLUMN", '{"column":"score","type":"int"}'),
+        (30, "WIDEN_COLUMN", '{"column":"turn_idx","type":"bigint"}'),
+    ]
+    # CLOB (unknown) degraded to string; VARCHAR(64) suffix stripped so
+    # conv_id's type never "changed"; the in-statement ordinal is
+    # deterministic (ordered by ddl_arg)
+
+
+def test_schema_history_multi_table_routing(spark, tmp_path):
+    """multi_table=True surfaces the bare table name from the quoted id;
+    diffs are per-table (same column set in two tables doesn't alias)."""
+    from milvus_cdc_spark.sources.debezium import read_debezium_history
+
+    def msg(lsn, tid, cols):
+        return json.dumps({
+            "source": {"lsn": lsn}, "ts_ms": 1700000000000,
+            "ddl": "--", "tableChanges": [{
+                "type": "ALTER" if lsn > 15 else "CREATE", "id": tid,
+                "table": {"columns": [
+                    {"name": n, "typeName": t, "position": i + 1}
+                    for i, (n, t) in enumerate(cols)
+                ]},
+            }],
+        })
+
+    msgs = [
+        msg(10, '"db"."ta"', [("a", "INT")]),
+        msg(11, '"db"."tb"', [("a", "INT")]),
+        msg(20, '"db"."ta"', [("a", "INT"), ("x", "BIGINT")]),
+        msg(21, '"db"."tb"', [("a", "BIGINT")]),
+    ]
+    d = tmp_path / "hist"
+    os.makedirs(d)
+    (d / "a.json").write_text("\n".join(msgs))
+    rows = sorted(
+        read_debezium_history(spark, str(d), multi_table=True).collect(),
+        key=lambda r: r.lsn,
+    )
+    assert [(r.lsn, r.table_name, r.op) for r in rows] == [
+        (20, "ta", "ADD_COLUMN"),
+        (21, "tb", "WIDEN_COLUMN"),
+    ]
+
+
+def test_schema_history_round_trip_through_engine(spark, tmp_path):
+    """to_debezium_history(engine DDL) -> read_debezium_history -> the
+    SAME logical events; applied through apply_batch the table gains the
+    column and the widened type."""
+    from datetime import datetime
+
+    from milvus_cdc_spark.operators.apply import apply_batch
+    from milvus_cdc_spark.plans.manifest import SnapshotTable
+    from milvus_cdc_spark.sources.debezium import (
+        read_debezium_history,
+        to_debezium_history,
+    )
+
+    ts0 = datetime(2024, 1, 1)
+    ddl = [
+        {"lsn": 101, "ts": ts0, "op": S.OP_ADD_COLUMN,
+         "ddl_arg": '{"column":"score","type":"int"}'},
+        {"lsn": 102, "ts": ts0, "op": S.OP_WIDEN_COLUMN,
+         "ddl_arg": '{"column":"score","type":"bigint"}'},
+    ]
+    d = tmp_path / "hist"
+    to_debezium_history(
+        spark, ddl, S.TRANSCRIPTS_BASE_COLUMNS
+    ).coalesce(1).write.mode("overwrite").text(str(d))
+    back = read_debezium_history(spark, str(d))
+    got = sorted(
+        (r.lsn, r.op, r.ddl_arg) for r in back.collect()
+    )
+    assert got == [(r["lsn"], r["op"], r["ddl_arg"]) for r in ddl]
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    apply_batch(spark, t, back, 0)
+    m = t.current()
+    assert dict(m.columns)["score"] == "bigint"
