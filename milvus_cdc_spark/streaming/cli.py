@@ -139,6 +139,7 @@ def _build_task(spark, spec, a):
         on_malformed=spec.get("on_malformed", a.on_malformed),
     )
     kw["source"] = spec.get("source", a.source)
+    kw["history_path"] = spec.get("history", a.history)
     if spec.get("tables_root"):
         return MultiCdcTask(
             spark,
@@ -236,6 +237,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="table write mode at create: copy-on-write MERGE "
                         "(resolution-free reads) or merge-on-read deltas "
                         "(O(batch) epoch writes; compact folds)")
+    p.add_argument("--history", default=None,
+                   help="Debezium schema-change topic dir (JSON lines): "
+                        "decoded into ADD/WIDEN_COLUMN events and unioned "
+                        "into every trigger (idempotent re-apply) — live "
+                        "DDL for --source debezium tasks")
     p.add_argument("--source", choices=["parquet", "debezium"],
                    default="parquet",
                    help="changelog encoding: native parquet files, or "
@@ -487,6 +493,7 @@ def main(argv: list[str] | None = None) -> int:
                 "auto_compact_files": a.auto_compact_files,
                 "on_malformed": a.on_malformed,
                 "source": a.source,
+                "history": a.history,
             }
             if a.table:
                 spec_fields["table"] = a.table

@@ -66,6 +66,28 @@ class FailProtect:
         return len(self.failure_ts) >= self.max_failures
 
 
+def _union_history(
+    spark, batch_df, history_path: str | None, multi_table: bool = False
+):
+    """Union the decoded Debezium schema-history stream into a micro-
+    batch. The history dir is re-decoded IN FULL each trigger: decoding
+    needs every table's previous column state (consecutive-state diff),
+    the topic is DDL-scale by nature, and re-applied ADD/WIDEN events
+    are idempotent at the manifest (skip-if-exists / lattice-max) — so
+    live DDL costs one tiny text scan per trigger and no extra state."""
+    if not history_path:
+        return batch_df
+    if not os.path.isdir(history_path) or not any(
+        not f.startswith(("_", ".")) for f in os.listdir(history_path)
+    ):
+        return batch_df  # topic not created yet / empty
+    from milvus_cdc_spark.sources.debezium import read_debezium_history
+
+    return batch_df.unionByName(
+        read_debezium_history(spark, history_path, multi_table=multi_table)
+    )
+
+
 class _TaskLifecycle:
     """Shared task lifecycle: start/pause/resume/drain + persisted status.
 
@@ -276,10 +298,16 @@ class CdcTask(_TaskLifecycle):
         auto_compact_files: int | None = None,
         on_malformed: str = "fail",
         source: str = "parquet",
+        history_path: str | None = None,
     ):
         if source not in ("parquet", "debezium"):
             raise ValueError(
                 f"source must be 'parquet' or 'debezium', got {source!r}"
+            )
+        if history_path and source != "debezium":
+            raise ValueError(
+                "history_path only applies to source='debezium' (the "
+                "native parquet changelog carries DDL inline)"
             )
         self.spark = spark
         self.changelog_path = changelog_path
@@ -288,6 +316,13 @@ class CdcTask(_TaskLifecycle):
         # Debezium envelopes, normalized to the same schema at the scan
         # (sources/debezium.py) — everything downstream is identical
         self.source = source
+        # Debezium schema-change topic directory: re-decoded IN FULL each
+        # trigger (history topics are DDL-scale; decoding needs every
+        # table's previous column state) and unioned into the batch —
+        # re-applied ADD/WIDEN events are idempotent at the manifest
+        # (skip-if-exists / lattice-max), so live DDL needs no extra
+        # bookkeeping. See sources/debezium.py::read_debezium_history.
+        self.history_path = history_path
         self.table = SnapshotTable(table_root)
         if not self.table.exists():
             self.table.create(
@@ -323,6 +358,9 @@ class CdcTask(_TaskLifecycle):
                     batch_df = self.spark.read.schema(
                         batch_df.schema
                     ).parquet(*files)
+            batch_df = _union_history(
+                self.spark, batch_df, self.history_path
+            )
             apply_batch(
                 self.spark,
                 self.table,
@@ -492,15 +530,24 @@ class MultiCdcTask(_TaskLifecycle):
         auto_compact_files: int | None = None,
         on_malformed: str = "fail",
         source: str = "parquet",
+        history_path: str | None = None,
     ):
         if source not in ("parquet", "debezium"):
             raise ValueError(
                 f"source must be 'parquet' or 'debezium', got {source!r}"
             )
+        if history_path and source != "debezium":
+            raise ValueError(
+                "history_path only applies to source='debezium' (the "
+                "native parquet changelog carries DDL inline)"
+            )
         self.spark = spark
         self.changelog_path = changelog_path
         self.on_malformed = on_malformed
         self.source = source
+        # schema-change topic dir (see CdcTask) — decoded multi_table so
+        # each event routes to its collection
+        self.history_path = history_path
         self.tables_root = tables_root
         self.filter = CollectionFilter(collections, excludes)
         self.max_files_per_trigger = max_files_per_trigger
@@ -752,6 +799,9 @@ class MultiCdcTask(_TaskLifecycle):
                     batch_df = self.spark.read.schema(
                         batch_df.schema
                     ).parquet(*files)
+            batch_df = _union_history(
+                self.spark, batch_df, self.history_path, multi_table=True
+            )
             self.apply_multi(batch_df, epoch_id)
 
         if self.source == "debezium":

@@ -335,3 +335,70 @@ def test_schema_history_round_trip_through_engine(spark, tmp_path):
     apply_batch(spark, t, back, 0)
     m = t.current()
     assert dict(m.columns)["score"] == "bigint"
+
+
+def test_streaming_drain_with_live_schema_history(spark, tmp_path):
+    """CdcTask(source='debezium', history_path=...) unions the decoded
+    schema-change topic into every trigger: an ADD_COLUMN landing
+    between two drains takes effect, re-decoding the full history on
+    the second drain is idempotent, and the final DML state matches the
+    oracle replay."""
+    from datetime import datetime
+
+    import shutil
+
+    from milvus_cdc_spark.streaming.engine import CdcTask, FailProtect
+    from milvus_cdc_spark.sources.debezium import to_debezium_history
+
+    log = generate_changelog(
+        spark, 1200, n_parts=4, n_convs=30, turns_per_conv=8,
+        num_partitions=4,
+    ).filter(F.col("op").isin(*S.DML_OPS))
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    jdir = tmp_path / "env"
+    hdir = tmp_path / "hist"
+
+    def land(df, dst, name):
+        tmp = str(tmp_path / "stage")
+        df.coalesce(1).write.mode("overwrite").text(tmp)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(tmp):
+            if f.startswith("part-"):
+                shutil.move(os.path.join(tmp, f), os.path.join(dst, name))
+        shutil.rmtree(tmp)
+
+    land(to_debezium(log.filter(F.col("lsn") <= 600)), str(jdir), "a.json")
+
+    def task():
+        return CdcTask(spark, str(jdir), str(tmp_path / "t"),
+                       str(tmp_path / "ck"), source="debezium",
+                       history_path=str(hdir), max_files_per_trigger=1)
+
+    t1 = task()
+    assert t1.drain_protected(FailProtect(), timeout_sec=180)
+    assert "score" not in [c[0] for c in t1.table.current().columns]
+
+    # DDL lands on the history topic + the rest of the DML arrives
+    ddl = [{"lsn": hi + 1, "ts": datetime(2024, 1, 1),
+            "op": S.OP_ADD_COLUMN,
+            "ddl_arg": '{"column":"score","type":"bigint"}'}]
+    land(to_debezium_history(spark, ddl, S.TRANSCRIPTS_BASE_COLUMNS),
+         str(hdir), "h.json")
+    land(to_debezium(log.filter(F.col("lsn") > 600)), str(jdir), "b.json")
+
+    t2 = task()
+    assert t2.drain_protected(FailProtect(), timeout_sec=180)
+    cols = dict(t2.table.current().columns)
+    assert cols.get("score") == "bigint"
+
+    # a third drain with no new files must stay clean (idempotent
+    # re-apply of the already-applied history)
+    t3 = task()
+    assert t3.drain_protected(FailProtect(), timeout_sec=60)
+
+    want, _ = replay([r.asDict() for r in log.collect()])
+    got = t3.table.read(spark)
+    cs = [c for c in got.columns if c != "score"]
+    want_set = sorted(tuple(r[c] for c in cs) for r in want)
+    got_set = sorted(tuple(r[c] for c in cs) for r in got.collect())
+    assert got_set == want_set
