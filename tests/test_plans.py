@@ -235,3 +235,63 @@ def test_ivf_incremental_index_never_shuffles(spark):
         "diff-sized sides (operators/similarity.py)"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_bench_no_shuffle_of_corpus(spark):
+    """Benchmark decontamination must cost one streaming corpus scan:
+    the eval shingle set is the broadcast build side; the only shuffle
+    is the per-doc hit aggregation. No SMJ, no cartesian."""
+    from milvus_cdc_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} tail{i}")
+         for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    out = decontaminate(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        k=3,
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, (
+        "corpus side shuffled against the bench set — the eval shingles "
+        "must stay the broadcast build side (operators/dedup.py)"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_decontaminate_incremental_streams_map_side(spark):
+    """An incremental decontamination round must cost ∝ |diff|: fresh
+    docs join the broadcast bench set, the store anti-joins a broadcast
+    retired set — the contamination store is scanned, never shuffled."""
+    from milvus_cdc_spark.operators.dedup import (
+        bench_shingle_store,
+        decontaminate,
+        decontaminate_incremental,
+    )
+
+    bench = spark.createDataFrame(
+        [("b", "tok1 tok2 tok3")], "doc_key string, text string"
+    )
+    bench_sh = bench_shingle_store(bench, k=3, id_col="doc_key").localCheckpoint()
+    train = spark.createDataFrame(
+        [(f"d{i}", f"tok{i % 5} tok{(i + 1) % 5} tok{(i + 2) % 5}")
+         for i in range(20)],
+        "doc_key string, text string",
+    )
+    store = decontaminate(train, bench, k=3, id_col="doc_key").localCheckpoint()
+    changes = spark.createDataFrame(
+        [("update", "d1", "tok1 tok2 tok3 fresh")],
+        "change_type string, doc_key string, text string",
+    )
+    plan = _plan(decontaminate_incremental(store, bench_sh, changes, k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, (
+        "store side shuffled — retired keys must broadcast "
+        "(operators/dedup.py::decontaminate_incremental)"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
