@@ -122,6 +122,49 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
 
 
+def _q_cdc_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript assembly over the ENGINE's final state: per conversation,
+    the turn count and an md5 fingerprint of the texts concatenated in
+    stable turn order — the downstream read every consumer of a replicated
+    transcript collection performs (reference analogue: reading back the
+    replicated Milvus collection after replay), and the conversation-grain
+    statement of the north rule's per-turn text-equality invariant: the
+    fingerprint matches the DuckDB oracle only if EVERY turn's text is
+    byte-equal AND ordered identically. (conv_id, turn_idx) is unique in
+    the final state, so array_sort on the (turn_idx, text) struct is a
+    total order and the rollup is deterministic."""
+    final = _q_cdc_final_state(spark, sf_dir)
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    return final.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.md5(
+            F.array_join(F.transform(ordered, lambda s: s["text"]), "\n")
+        ).alias("transcript_fp"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+_ORACLE_CONV_ROLLUP = f"""
+WITH log AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log),
+live AS (
+  SELECT conv_id, turn_idx, text, ts
+  FROM ranked WHERE rn = 1 AND op <> 'DELETE')
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS transcript_fp,
+       MAX(ts) AS last_ts
+FROM live GROUP BY conv_id
+"""
+
+
 def _derive_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-update backfill stream derived from 'click' events (which
     the anchor derivation drops): each click PATCHes the turn
@@ -1805,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ===== CDC engine inventory (SURVEY.md §2) =====
     q["cdc_final_state"] = _q_cdc_final_state
+    q["cdc_conv_rollup"] = _q_cdc_conv_rollup
     q["cdc_patch"] = _q_cdc_patch
     q["cdc_table_truncate"] = _q_cdc_table_truncate
     q["cdc_dlq"] = _q_cdc_dlq
@@ -2050,6 +2094,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_chunk"] = doc_chunk
 
+    def doc_passage_dedup(spark, sf):
+        # duplicate-passage detection: non-overlapping 32-token windows
+        # (functions/text.py::chunks with stride == window), md5-
+        # fingerprinted; report fingerprints appearing in >= 2 DISTINCT
+        # docs — the memorization/boilerplate screen doc-level minhash
+        # can't see (a boilerplate footer shared by 2% of docs never
+        # lifts doc-level Jaccard past the threshold). Partial tail
+        # windows are dropped (n_tokens < 32): they'd alias prefixes of
+        # full windows. Scale path: one explode + one HashAggregate on
+        # the fingerprint — no joins, no quadratics; at 100 TB the
+        # explode output is ~(tokens/32) rows of (fp, doc_id), and the
+        # agg is map-side-combinable.
+        ch = (
+            _t(spark, sf, "documents")
+            .select(
+                "doc_id",
+                F.explode(
+                    TXT.chunks(F.col("text"), window=32, stride=32)
+                ).alias("c"),
+            )
+            .filter(F.col("c.n_tokens") == 32)
+            .select("doc_id", F.md5(F.col("c.chunk_text")).alias("passage_fp"))
+        )
+        return (
+            ch.groupBy("passage_fp")
+            .agg(
+                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            )
+            .filter(F.col("n_docs") >= 2)
+        )
+    q["doc_passage_dedup"] = doc_passage_dedup
+
     def doc_sample_stratified(spark, sf):
         # deterministic stratified sampling by language: md5-hash bucket
         # per doc (portable to the DuckDB oracle), per-stratum keep rates
@@ -2279,6 +2356,7 @@ def oracle_sql() -> dict[str, str]:
 
     d = {
         "cdc_final_state": _ORACLE_FINAL_STATE,
+        "cdc_conv_rollup": _ORACLE_CONV_ROLLUP,
         "cdc_patch": _ORACLE_PATCH,
         "cdc_table_truncate": _ORACLE_TABLE_TRUNCATE,
         # quarantine: final state ≡ clean-subset replay, dlq dir ≡ the
@@ -2455,6 +2533,24 @@ def oracle_sql() -> dict[str, str]:
                        ' ') AS chunk_text,
                    CAST(LEAST(64, n - chunk_idx*48) AS INT) AS n_tokens
             FROM c""",
+        "doc_passage_dedup": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+            c AS (SELECT doc_id, toks, n,
+                         unnest(range(0, CASE WHEN n > 32
+                             THEN CAST(ceil((n - 32) / 32.0) AS BIGINT) + 1
+                             ELSE 1 END)) AS chunk_idx
+                  FROM n),
+            p AS (SELECT doc_id,
+                         md5(array_to_string(
+                             list_slice(toks, chunk_idx*32 + 1, chunk_idx*32 + 32),
+                             ' ')) AS passage_fp
+                  FROM c WHERE LEAST(32, n - chunk_idx*32) = 32)
+            SELECT passage_fp,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM p GROUP BY passage_fp
+            HAVING COUNT(DISTINCT doc_id) >= 2""",
         "doc_sample_stratified": """
             SELECT doc_id, lang, source FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sample'),

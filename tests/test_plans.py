@@ -295,3 +295,17 @@ def test_decontaminate_incremental_streams_map_side(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_passage_dedup_is_single_agg_no_join(spark):
+    """Duplicate-passage detection must stay one explode + hash aggregates
+    on the fingerprint — a join or cartesian anywhere means the op stopped
+    being a linear scan (the property that makes it viable at 100 TB)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["doc_passage_dedup"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan, f"passage dedup grew a {bad}"
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
