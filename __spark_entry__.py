@@ -965,6 +965,93 @@ def _q_doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store
 
 
+def _q_doc_passage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe: incremental duplicate-PASSAGE maintenance over the
+    CDC table via ``changes()`` — bootstrap a passage store from the
+    first third of the log (operators/dedup.py::passage_store), advance
+    it through TWO incremental rounds (passage_dedup_incremental — only
+    changed docs are ever re-chunked), then fold the final store into the
+    cross-doc duplicate-passage report. The oracle recomputes the report
+    from scratch over the final snapshot, pinning the invariant:
+    bootstrap + N rounds ≡ full recompute. Doc text is derived as exactly
+    6 tokens (two 3-token windows over small mod spaces) so cross-doc
+    duplicate passages are dense and insert/update/delete transitions
+    genuinely move fingerprints in and out of the store."""
+    from milvus_cdc_spark.operators.dedup import (
+        passage_dedup_incremental,
+        passage_report,
+        passage_store,
+    )
+
+    log = _derive_changelog(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    step = hi // 3 + 1
+    root = _probe_table_root(sf_dir, "passage_incr")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+
+    def corpus(df, *extra):
+        # 6 derived tokens -> two full 3-token windows per doc; window
+        # variant spaces (4*3*2=24 and 5*3*2=30) keep duplicates dense
+        t = lambda p, m: F.concat(  # noqa: E731
+            F.lit(p), F.pmod(F.col("lsn"), F.lit(m)).cast("string")
+        )
+        return df.select(
+            *extra,
+            F.concat(
+                "conv_id", F.lit("#"), F.col("turn_idx").cast("string")
+            ).alias("doc_key"),
+            F.concat_ws(
+                " ", t("a", 4), t("b", 3), t("c", 2),
+                t("d", 5), t("e", 3), t("f", 2),
+            ).alias("text"),
+        )
+
+    apply_batch(spark, table, log.filter(F.col("lsn") < step), epoch=0)
+    store = passage_store(corpus(table.read(spark)), window=3)
+    for i in (1, 2):
+        v_prev = table.current().version
+        apply_batch(
+            spark,
+            table,
+            log.filter(
+                (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+            ),
+            epoch=i,
+        )
+        store = passage_dedup_incremental(
+            store, corpus(table.changes(spark, v_prev), "change_type"),
+            window=3,
+        )
+    return passage_report(store)
+
+
+_ORACLE_PASSAGE_INCREMENTAL = f"""
+WITH log AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log),
+state AS (SELECT conv_id, turn_idx, lsn FROM ranked WHERE rn = 1 AND op <> 'DELETE'),
+docs AS (SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_key,
+                'a' || CAST(lsn % 4 AS VARCHAR) || ' b' || CAST(lsn % 3 AS VARCHAR)
+                    || ' c' || CAST(lsn % 2 AS VARCHAR) AS w1,
+                'd' || CAST(lsn % 5 AS VARCHAR) || ' e' || CAST(lsn % 3 AS VARCHAR)
+                    || ' f' || CAST(lsn % 2 AS VARCHAR) AS w2
+         FROM state),
+p AS (SELECT doc_key, md5(w1) AS passage_fp FROM docs
+      UNION ALL
+      SELECT doc_key, md5(w2) AS passage_fp FROM docs)
+SELECT passage_fp,
+       CAST(COUNT(DISTINCT doc_key) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM p GROUP BY passage_fp
+HAVING COUNT(DISTINCT doc_key) >= 2
+"""
+
+
 def _q_doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe: the LSH sibling of ``doc_dedup_incremental`` —
     incremental NEAR-dup maintenance over the CDC table via
@@ -1858,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_bootstrap"] = _q_cdc_bootstrap
     q["cdc_table_changes"] = _q_cdc_table_changes
     q["doc_dedup_incremental"] = _q_doc_dedup_incremental
+    q["doc_passage_incremental"] = _q_doc_passage_incremental
     q["doc_minhash_incremental"] = _q_doc_minhash_incremental
     q["doc_decontaminate_incremental"] = _q_doc_decontaminate_incremental
     q["doc_pipeline_incremental"] = _q_doc_pipeline_incremental
@@ -2106,24 +2194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the fingerprint — no joins, no quadratics; at 100 TB the
         # explode output is ~(tokens/32) rows of (fp, doc_id), and the
         # agg is map-side-combinable.
-        ch = (
-            _t(spark, sf, "documents")
-            .select(
-                "doc_id",
-                F.explode(
-                    TXT.chunks(F.col("text"), window=32, stride=32)
-                ).alias("c"),
+        return DD.passage_report(
+            DD.passage_store(
+                _t(spark, sf, "documents"), key_col="doc_id", window=32
             )
-            .filter(F.col("c.n_tokens") == 32)
-            .select("doc_id", F.md5(F.col("c.chunk_text")).alias("passage_fp"))
-        )
-        return (
-            ch.groupBy("passage_fp")
-            .agg(
-                F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-                F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
-            )
-            .filter(F.col("n_docs") >= 2)
         )
     q["doc_passage_dedup"] = doc_passage_dedup
 
@@ -2375,6 +2449,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_table_changes": _ORACLE_TABLE_CHANGES,
         # incremental store advance ≡ full recompute over the final state
         "doc_dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
+        "doc_passage_incremental": _ORACLE_PASSAGE_INCREMENTAL,
         "doc_minhash_incremental": _ORACLE_MINHASH_INCREMENTAL,
         # incremental decontamination: bootstrap + N changes()-driven
         # rounds must equal a from-scratch full recompute on final state

@@ -462,6 +462,86 @@ def dedup_exact_incremental(
     )
 
 
+def passage_store(
+    df: DataFrame,
+    key_col: str = "doc_key",
+    text_col: str = "text",
+    window: int = 32,
+) -> DataFrame:
+    """Bootstrap a passage-fingerprint store: one row per (doc, distinct
+    full ``window``-token non-overlapping passage) with its in-doc
+    occurrence count — the state :func:`passage_dedup_incremental`
+    advances by CDC diffs and :func:`passage_report` folds into the
+    cross-doc duplicate-passage report. Partial tail windows are dropped
+    (they'd alias prefixes of full windows). One explode + one
+    map-side-combinable HashAggregate; rows out ≈ tokens/window."""
+    ch = df.select(
+        F.col(key_col).alias("doc_key"),
+        F.explode(
+            TXT.chunks(F.col(text_col), window=window, stride=window)
+        ).alias("c"),
+    )
+    return (
+        ch.filter(F.col("c.n_tokens") == window)
+        .select("doc_key", F.md5(F.col("c.chunk_text")).alias("passage_fp"))
+        .groupBy("doc_key", "passage_fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+
+
+def passage_dedup_incremental(
+    store: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_key",
+    text_col: str = "text",
+    window: int = 32,
+) -> DataFrame:
+    """Advance a passage store by a CDC diff — the incremental sibling of
+    the full-corpus duplicate-passage scan: only the changed documents
+    are ever re-chunked (cost ∝ |changes|), retired/updated keys' rows
+    leave the store via a broadcast anti-join (the store streams
+    map-side, mirroring the dedup/minhash/decontaminate rounds), and
+    fresh passages append. Passage fingerprints are pure per-document
+    functions, so unlike exact-dedup keepers there is NO global
+    recompute step. Invariant (oracle-checked by
+    ``doc_passage_incremental``): bootstrap + N rounds ≡
+    :func:`passage_store` over the final snapshot, hence the folded
+    :func:`passage_report` matches the full recompute too.
+
+    ``changes``: rows with ``change_type`` ∈ insert|update|delete plus
+    ``key_col``/``text_col`` (the changes() contract: update rows carry
+    the post-image, delete rows the pre-image)."""
+    retired = changes.filter(
+        F.col("change_type").isin("delete", "update")
+    ).select(F.col(key_col).alias("doc_key"))
+    fresh = passage_store(
+        changes.filter(F.col("change_type").isin("insert", "update")),
+        key_col,
+        text_col,
+        window,
+    )
+    return (
+        store.select("doc_key", "passage_fp", "n_occ")
+        .join(F.broadcast(retired), "doc_key", "left_anti")
+        .unionByName(fresh)
+    )
+
+
+def passage_report(store: DataFrame) -> DataFrame:
+    """Fold a passage store into the duplicate-passage report:
+    fingerprints appearing in ≥2 DISTINCT docs, with doc and total
+    occurrence counts — the memorization/boilerplate screen doc-level
+    MinHash can't see. Single HashAggregate over the skinny store."""
+    return (
+        store.groupBy("passage_fp")
+        .agg(
+            F.countDistinct("doc_key").cast("bigint").alias("n_docs"),
+            F.sum("n_occ").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def _sig_frame(
     df: DataFrame,
     n_hashes: int,

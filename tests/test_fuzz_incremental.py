@@ -202,3 +202,42 @@ def test_fuzz_ivf_index_incremental(spark, seed):
         for r in ivf_index(final, cent).select("doc_key", "cell").collect()
     }
     assert got == want, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_passage_incremental(spark, seed):
+    from milvus_cdc_spark.operators.dedup import (
+        passage_dedup_incremental,
+        passage_report,
+        passage_store,
+    )
+
+    rng = random.Random(seed)
+    corpus, graveyard = _seed_corpus(rng, _text), []
+    store = passage_store(
+        spark.createDataFrame(sorted(corpus.items()), "doc_key string, text string"),
+        window=3,
+    )
+    for rnd in range(ROUNDS):
+        changes = _evolve(rng, corpus, graveyard, rnd, _text)
+        store = passage_dedup_incremental(
+            store, _text_changes_df(spark, changes), window=3
+        ).localCheckpoint()
+    final = spark.createDataFrame(
+        sorted(corpus.items()), "doc_key string, text string"
+    )
+    want_store = passage_store(final, window=3)
+
+    def skey(r):
+        return (r["doc_key"], r["passage_fp"], r["n_occ"])
+
+    assert sorted(map(skey, store.collect())) == sorted(
+        map(skey, want_store.collect())
+    ), f"seed={seed}"
+
+    def rkey(r):
+        return (r["passage_fp"], r["n_docs"], r["n_occurrences"])
+
+    assert sorted(map(rkey, passage_report(store).collect())) == sorted(
+        map(rkey, passage_report(want_store).collect())
+    ), f"seed={seed}"

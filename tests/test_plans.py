@@ -309,3 +309,28 @@ def test_passage_dedup_is_single_agg_no_join(spark):
         assert bad not in plan, f"passage dedup grew a {bad}"
     assert "HashAggregate" in plan
     assert "SortAggregate" not in plan
+
+
+def test_passage_incremental_store_streams_map_side(spark):
+    """Incremental passage maintenance must cost ∝ |diff|: the retire
+    anti-join builds on the (broadcast) diff side; the store is scanned,
+    never shuffled."""
+    from milvus_cdc_spark.operators.dedup import (
+        passage_dedup_incremental,
+        passage_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [(f"d{i}", f"w{i % 3} w{i % 2} w{i % 5} x{i % 2} x{i % 3} x{i % 2}")
+         for i in range(20)],
+        "doc_key string, text string",
+    )
+    store = passage_store(corpus, window=3).localCheckpoint()
+    changes = spark.createDataFrame(
+        [("update", "d1", "w9 w9 w9 x9 x9 x9")],
+        "change_type string, doc_key string, text string",
+    )
+    plan = _plan(passage_dedup_incremental(store, changes, window=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "passage store shuffled on retire"
+    assert "CartesianProduct" not in plan
