@@ -133,16 +133,50 @@ def _q_cdc_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-equal AND ordered identically. (conv_id, turn_idx) is unique in
     the final state, so array_sort on the (turn_idx, text) struct is a
     total order and the rollup is deterministic."""
-    final = _q_cdc_final_state(spark, sf_dir)
-    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
-    return final.groupBy("conv_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
-        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
-        F.md5(
-            F.array_join(F.transform(ordered, lambda s: s["text"]), "\n")
-        ).alias("transcript_fp"),
-        F.max("ts").alias("last_ts"),
+    from milvus_cdc_spark.operators.rollup import conv_rollup
+
+    return conv_rollup(_q_cdc_final_state(spark, sf_dir))
+
+
+def _q_cdc_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for incremental materialized-view maintenance
+    (operators/rollup.py): bootstrap the per-conversation transcript
+    rollup from the first third of the log, then advance it through TWO
+    ``changes()`` rounds — each round recomputes ONLY the conversations
+    the diff touches, reading ONLY their buckets
+    (``touched_buckets`` → ``table.read(buckets=…)``). The oracle is the
+    full rollup recomputed over the final state, pinning the IVM
+    identity: bootstrap + N spliced rounds ≡ full recompute (including
+    conversations that vanish entirely — no refreshed row survives the
+    splice)."""
+    from milvus_cdc_spark.operators.rollup import (
+        advance_rollup,
+        conv_rollup,
+        touched_buckets,
     )
+
+    log = _derive_changelog(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    step = hi // 3 + 1
+    root = _probe_table_root(sf_dir, "rollup_incr")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    apply_batch(spark, table, log.filter(F.col("lsn") < step), epoch=0)
+    store = conv_rollup(table.read(spark))
+    for i in (1, 2):
+        v_prev = table.current().version
+        apply_batch(
+            spark,
+            table,
+            log.filter(
+                (F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step)
+            ),
+            epoch=i,
+        )
+        diff = table.changes(spark, v_prev)
+        snap = table.read(spark, buckets=touched_buckets(diff, 8))
+        store = advance_rollup(store, snap, diff, ["conv_id"], conv_rollup)
+    return store
 
 
 _ORACLE_CONV_ROLLUP = f"""
@@ -1936,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ===== CDC engine inventory (SURVEY.md §2) =====
     q["cdc_final_state"] = _q_cdc_final_state
     q["cdc_conv_rollup"] = _q_cdc_conv_rollup
+    q["cdc_rollup_incremental"] = _q_cdc_rollup_incremental
     q["cdc_patch"] = _q_cdc_patch
     q["cdc_table_truncate"] = _q_cdc_table_truncate
     q["cdc_dlq"] = _q_cdc_dlq
@@ -2431,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "cdc_final_state": _ORACLE_FINAL_STATE,
         "cdc_conv_rollup": _ORACLE_CONV_ROLLUP,
+        "cdc_rollup_incremental": _ORACLE_CONV_ROLLUP,
         "cdc_patch": _ORACLE_PATCH,
         "cdc_table_truncate": _ORACLE_TABLE_TRUNCATE,
         # quarantine: final state ≡ clean-subset replay, dlq dir ≡ the

@@ -1,0 +1,99 @@
+"""Incremental materialized-view maintenance (IVM) over a SnapshotTable:
+keep a grouped-aggregate view (e.g. per-conversation transcript rollups)
+current by ``changes()`` diffs — recompute ONLY the groups the diff
+touches, reading ONLY the buckets that hold them.
+
+Reference analogue: downstream consumers of a replicated Milvus
+collection re-derive their serving views after each replication batch
+(the reason milvus-cdc exists is to keep such consumers fresh); here the
+view advances in the same O(|diff|) budget as the replication itself.
+
+The maintenance identity, valid for ANY per-group aggregate: a group's
+rows can only change if some row carrying that group key appears in the
+diff — insert/update rows carry the post-image key, delete rows the
+pre-image key (the ``changes()`` contract) — so recomputing exactly the
+affected groups from the current snapshot and splicing them over the
+store is equivalent to a full recompute. Groups whose last row was
+deleted drop naturally (no refreshed row survives the splice).
+
+Cost model at 100 TB: |affected keys| ∝ |diff|, and they broadcast
+(diffs are epoch-sized); the refresh scan is bucket-pruned to the
+touched buckets via :func:`touched_buckets` (the same manifest pruning
+``changes()`` itself uses), so a maintenance round reads ∝ changed
+buckets, never the table. For long round chains, persist or
+``localCheckpoint`` the store periodically — each splice adds one
+anti-join + union to its lineage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def touched_buckets(
+    changes: DataFrame, n_buckets: int, key_col: str = "conv_id"
+) -> list[int]:
+    """Bucket ids the diff touches, computed with the manifest's bucket
+    function (``pmod(xxhash64(conv_id), n_buckets)`` —
+    plans/manifest.py); pass to ``SnapshotTable.read(buckets=…)`` so the
+    group refresh scans only files that can hold affected groups. One
+    distinct over diff-sized data, driver-materialized (bucket ids are
+    ≤ n_buckets values)."""
+    rows = (
+        changes.select(
+            F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["b"] for r in rows)
+
+
+def advance_rollup(
+    store: DataFrame,
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    agg_fn: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Splice a grouped-aggregate view forward by one CDC diff.
+
+    ``store``: the previous view rows (``agg_fn`` output schema).
+    ``snapshot``: the CURRENT table state — at scale, pre-pruned to the
+    diff's buckets (``table.read(spark, buckets=touched_buckets(…))``).
+    ``changes``: a ``SnapshotTable.changes()`` diff carrying ``keys``.
+    ``agg_fn``: df → one row per group; re-run ONLY over affected groups.
+
+    Affected keys broadcast twice (diff-sized): a left-semi join prunes
+    the snapshot scan to affected groups, a left-anti join retires those
+    groups' stale view rows; refreshed rows union in. Invariant
+    (oracle-checked by ``cdc_rollup_incremental``): bootstrap + N rounds
+    ≡ ``agg_fn`` over the final snapshot."""
+    keys = list(keys)
+    aff = changes.select(*keys).distinct()
+    refreshed = agg_fn(snapshot.join(F.broadcast(aff), keys, "left_semi"))
+    return (
+        store.join(F.broadcast(aff), keys, "left_anti")
+        .unionByName(refreshed)
+    )
+
+
+def conv_rollup(df: DataFrame) -> DataFrame:
+    """Transcript assembly at the conversation grain: turn count, char
+    count, md5 fingerprint of the texts concatenated in stable turn
+    order, and the newest ts. (conv_id, turn_idx) is unique in any
+    snapshot, so ``array_sort`` on the (turn_idx, text) struct is a
+    total order and the fingerprint is deterministic. Pure JVM
+    aggregates — one HashAggregate-style shuffle on conv_id."""
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.md5(
+            F.array_join(F.transform(ordered, lambda s: s["text"]), "\n")
+        ).alias("transcript_fp"),
+        F.max("ts").alias("last_ts"),
+    )
