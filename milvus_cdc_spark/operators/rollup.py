@@ -81,6 +81,91 @@ def advance_rollup(
     )
 
 
+def run_rollup_round(
+    spark,
+    table,
+    store_dir: str,
+    *,
+    agg_fn: Callable[[DataFrame], DataFrame] = None,
+    keys: Sequence[str] = ("conv_id",),
+) -> dict:
+    """One idempotent IVM round against a live ``SnapshotTable`` — the
+    serving-view refresh a consumer runs after each replication batch:
+    advance the view by ``changes()`` since the last processed version
+    (full ``agg_fn`` over the table only on the very first round),
+    persist it, move the cursor.
+
+    Persistence protocol mirrors
+    :func:`~milvus_cdc_spark.operators.pipeline.run_pipeline_round`:
+    the view lives in ``v{version}/view`` parquet under ``store_dir``;
+    ``cursor.json`` is written LAST via temp + ``os.replace`` — the
+    commit point, so a crash mid-round leaves the previous round intact
+    and the next invocation redoes the interrupted one (``changes()``
+    and the splice are pure functions of their inputs; the round is
+    idempotent). A round where the table hasn't advanced is a no-op.
+
+    Bucket pruning applies when the group keys include ``conv_id`` (the
+    manifest's bucket column): the refresh then reads only the diff's
+    buckets; other groupings refresh from a full logical read."""
+    import json
+    import os
+    import shutil
+
+    if agg_fn is None:
+        agg_fn = conv_rollup
+    keys = list(keys)
+    cur_m = table.current()
+    cursor_path = os.path.join(store_dir, "cursor.json")
+    cursor = None
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            cursor = json.load(f)
+
+    if cursor is not None and cursor["version"] >= cur_m.version:
+        return {
+            "skipped": True,
+            "version": cursor["version"],
+            "store": os.path.join(store_dir, cursor["dir"]),
+        }
+
+    if cursor is None:
+        view = agg_fn(table.read(spark))
+    else:
+        prev = spark.read.parquet(
+            os.path.join(store_dir, cursor["dir"], "view")
+        )
+        diff = table.changes(spark, cursor["version"])
+        snap = table.read(
+            spark,
+            buckets=(
+                touched_buckets(diff, cur_m.n_buckets)
+                if "conv_id" in keys
+                else None
+            ),
+        )
+        view = advance_rollup(prev, snap, diff, keys, agg_fn)
+
+    vdir = f"v{cur_m.version}"
+    out = os.path.join(store_dir, vdir, "view")
+    view.write.mode("overwrite").parquet(out)
+    n_groups = spark.read.parquet(out).count()
+    tmp = cursor_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": cur_m.version, "dir": vdir}, f)
+    os.replace(tmp, cursor_path)  # the commit point
+    for d in os.listdir(store_dir):  # retire superseded store versions
+        if d.startswith("v") and d != vdir and os.path.isdir(
+            os.path.join(store_dir, d)
+        ):
+            shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
+    return {
+        "skipped": False,
+        "version": cur_m.version,
+        "n_groups": n_groups,
+        "store": os.path.join(store_dir, vdir),
+    }
+
+
 def conv_rollup(df: DataFrame) -> DataFrame:
     """Transcript assembly at the conversation grain: turn count, char
     count, md5 fingerprint of the texts concatenated in stable turn

@@ -197,7 +197,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "create", "drain", "status", "tail", "pause", "resume",
             "delete", "list", "position", "compact", "vacuum", "bootstrap",
-            "convert", "cascade", "pipeline", "rollback", "dlq",
+            "convert", "cascade", "pipeline", "rollup", "rollback", "dlq",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -386,6 +386,20 @@ def main(argv: list[str] | None = None) -> int:
             window=a.window, stride=a.stride, out_dir=a.out,
         )
         print(json.dumps(res))
+        return 0
+
+    if a.command == "rollup":
+        # one idempotent IVM round (operators/rollup.py::run_rollup_round):
+        # advance the per-conversation transcript rollup by the table's
+        # changes() since the cursor — recompute only touched groups,
+        # read only touched buckets; view + cursor persist under --store.
+        if not (a.table and a.store):
+            p.error("'rollup' needs --table and --store")
+        from milvus_cdc_spark.operators.rollup import run_rollup_round
+        from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+        spark = get_spark("milvus_cdc_spark_cli", master=a.master)
+        print(json.dumps(run_rollup_round(spark, SnapshotTable(a.table), a.store)))
         return 0
 
     if a.command == "cascade":

@@ -132,3 +132,48 @@ def test_refresh_scan_is_bucket_pruned_and_joins_broadcast(spark, tmp_path):
     assert "SortMergeJoin" not in plan, "store/snapshot shuffled by splice"
     assert "CartesianProduct" not in plan
     assert _store_rows(spliced) == _store_rows(conv_rollup(t.read(spark)))
+
+
+def test_rollup_cli_round_trip(spark, tmp_path):
+    """The `rollup` CLI verb: bootstrap round → no-op round (cursor at
+    head) → incremental round after more epochs; the persisted view must
+    equal conv_rollup over the final table."""
+    import json
+    import subprocess
+    import sys
+
+    log = generate_changelog(
+        spark, 2500, n_parts=4, n_convs=25, turns_per_conv=6
+    )
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    mid = hi // 2
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=N_BUCKETS, overwrite=True)
+    apply_batch(spark, t, log.filter(F.col("lsn") <= mid), epoch=0)
+
+    store = str(tmp_path / "view_store")
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "milvus_cdc_spark.streaming.cli", *args],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    r1 = cli("rollup", "--table", t.root, "--store", store,
+             "--master", "local[2]")
+    assert not r1["skipped"] and r1["n_groups"] > 0
+
+    r2 = cli("rollup", "--table", t.root, "--store", store,
+             "--master", "local[2]")
+    assert r2["skipped"] and r2["version"] == r1["version"]
+
+    apply_batch(spark, t, log.filter(F.col("lsn") > mid), epoch=1)
+    r3 = cli("rollup", "--table", t.root, "--store", store,
+             "--master", "local[2]")
+    assert not r3["skipped"] and r3["version"] > r1["version"]
+
+    view = spark.read.parquet(os.path.join(r3["store"], "view"))
+    assert _store_rows(view) == _store_rows(conv_rollup(t.read(spark)))
