@@ -2184,6 +2184,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_text_stats"] = doc_text_stats
 
+    def doc_token_counts(spark, sf):
+        # the token-count pair the brief names: whitespace/alnum word
+        # tokens AND a GPT-2-style BPE pretokenizer (functions/text.py::
+        # BPE_PRETOKEN_RE, Java∩RE2 subset, counted JVM-side)
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            TXT.token_count(F.col("text")).alias("n_tokens_word"),
+            TXT.bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
+        )
+    q["doc_token_counts"] = doc_token_counts
+
     def doc_lang_id(spark, sf):
         return _t(spark, sf, "documents").select(
             "doc_id", TXT.lang_id(F.col("text")).alias("lang_guess")
@@ -2605,6 +2616,13 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars_computed,
                    length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g')) AS n_punct,
                    {sw_en} AS n_stopwords_en
+            FROM t""",
+        "doc_token_counts": f"""
+            WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+            SELECT doc_id, len(toks) AS n_tokens_word,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'
+                   )) AS n_tokens_bpe
             FROM t""",
         "doc_lang_id": f"""
             WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)

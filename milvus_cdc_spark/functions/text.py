@@ -40,6 +40,23 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
+# GPT-2-style pretokenizer, restricted to the Java∩RE2 regex subset (no
+# lookahead, so the trailing-space variant folds into plain \s+):
+# contractions, space-prefixed letter/digit/punctuation runs, residual
+# whitespace. Both engines use ordered (leftmost-first) alternation, so
+# counts agree exactly — the probe hash-checks that.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Count of BPE-style pretokens — the sequence-length estimate a
+    training pipeline budgets with (a GPT-2-family tokenizer merges
+    WITHIN pretokens, so the pretoken count is the upper bound on merge
+    inputs and tracks real token counts closely). JVM-side regexp_count,
+    zero Python."""
+    return F.regexp_count(c, F.lit(BPE_PRETOKEN_RE))
+
+
 def chunks(c: Column, window: int = 64, stride: int = 48) -> Column:
     """Fixed token-window chunking with overlap — the pretokenization
     split every training pipeline runs before packing sequences.
