@@ -57,6 +57,12 @@ def _spec_from_args(a, p) -> dict:
     """Task spec from --name/--tasks-dir (registry) or explicit flags."""
     if a.name and a.tasks_dir:
         return TaskRegistry(a.tasks_dir).get(a.name)
+    if a.src_table and a.view_store and a.checkpoint:
+        # view task: maintains a serving view of another SnapshotTable
+        return {
+            "src_table": a.src_table, "view_store": a.view_store,
+            "checkpoint": a.checkpoint,
+        }
     if a.src_table and a.table and a.checkpoint:
         # cascade task: tails another SnapshotTable instead of a changelog
         return {
@@ -98,6 +104,15 @@ def _build_task(spark, spec, a):
         MultiCdcTask,
     )
 
+    if spec.get("view_store"):
+        from milvus_cdc_spark.streaming.engine import ViewTask
+
+        return ViewTask(
+            spark,
+            spec["src_table"],
+            spec["view_store"],
+            spec["checkpoint"],
+        )
     if spec.get("src_table"):
         return CascadeTask(
             spark,
@@ -262,6 +277,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="rollback: manifest version to restore (forward-"
                         "rolling: commits a NEW version with the old "
                         "content; undone epochs become replayable)")
+    p.add_argument("--view-store", dest="view_store",
+                   help="view task: serving-view store directory "
+                        "(with --src-table + --checkpoint)")
     p.add_argument("--store", help="pipeline: state directory (dedup + "
                    "chunk stores and the version cursor)")
     p.add_argument("--out", default=None,

@@ -992,6 +992,74 @@ class CascadeTask(_TaskLifecycle):
         }
 
 
+class ViewTask(_TaskLifecycle):
+    """Managed continuously-maintained serving view: tail a
+    SnapshotTable's versions and advance a grouped-aggregate view store
+    by each new ``changes()`` diff (operators/rollup.py::
+    run_rollup_round) — the always-on cousin of the one-shot ``rollup``
+    CLI verb, the same relation :class:`CascadeTask` has to ``cascade``.
+    This closes the reference's actual end-to-end story: the point of
+    replicating a collection is the serving view downstream of it, and
+    here that view refreshes within ``poll_sec`` of every source commit,
+    at O(|diff|) cost per refresh.
+
+    Self-positioning: ``run_rollup_round``'s ``cursor.json`` IS the
+    position (written last via temp + os.replace), so a crash-replayed
+    round redoes itself idempotently and restart needs no extra state.
+    availableNow semantics: drain until the view has caught the source's
+    CURRENT version, then stop; continuous mode keeps polling the source
+    manifest (an O(1) int read) every ``poll_sec``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src_root: str,
+        view_store: str,
+        checkpoint_dir: str,
+        *,
+        poll_sec: float = 0.5,
+    ):
+        self.spark = spark
+        self.src = SnapshotTable(src_root)
+        self.view_store = view_store
+        self.poll_sec = poll_sec
+        self._init_lifecycle(checkpoint_dir)
+
+    def _position(self) -> int:
+        import json as _json
+
+        cursor = os.path.join(self.view_store, "cursor.json")
+        if not os.path.exists(cursor):
+            return 0
+        with open(cursor) as f:
+            return int(_json.load(f)["version"])
+
+    def start(self, available_now: bool = False):
+        from milvus_cdc_spark.operators.rollup import run_rollup_round
+
+        def _loop(stop_event):
+            while not stop_event.is_set():
+                if self.src.current().version > self._position():
+                    run_rollup_round(self.spark, self.src, self.view_store)
+                elif available_now:
+                    return
+                else:
+                    stop_event.wait(self.poll_sec)
+
+        self.query = _LoopQuery(_loop).start()
+        self._write_status("Running")
+        return self.query
+
+    def _status_extra(self) -> dict[str, Any]:
+        src_v = self.src.current().version
+        pos = self._position()
+        return {
+            "src_version": src_v,
+            "view_version": pos,
+            "versions_behind": max(0, src_v - pos),
+        }
+
+
 class MultiCascadeTask(_TaskLifecycle):
     """Instance-level cascade: replicate EVERY SnapshotTable under
     ``src_tables_root`` (the dst tree of a MultiCdcTask — plain and

@@ -74,16 +74,25 @@ class TaskRegistry:
             raise ValueError(
                 "task spec needs 'log', 'src_table' or 'src_tables_root'"
             )
-        if spec.get("src_table") and not spec.get("table"):
-            raise ValueError("cascade task spec needs 'table'")
+        if spec.get("src_table") and not (
+            spec.get("table") or spec.get("view_store")
+        ):
+            raise ValueError("cascade task spec needs 'table' (or "
+                             "'view_store' for a view task)")
         if spec.get("src_tables_root") and not spec.get("tables_root"):
             raise ValueError("multi-cascade task spec needs 'tables_root'")
         # single-table tasks own a 'table'; multi-collection tasks own a
         # 'tables_root' (+ optional 'collections'/'excludes' lists — the
         # reference manages N-collection tasks through the same verbs,
-        # server/cdc_api.go:26-36)
-        if not (spec.get("table") or spec.get("tables_root")):
-            raise ValueError("task spec needs 'table' or 'tables_root'")
+        # server/cdc_api.go:26-36); view tasks own a 'view_store'
+        if not (
+            spec.get("table")
+            or spec.get("tables_root")
+            or spec.get("view_store")
+        ):
+            raise ValueError(
+                "task spec needs 'table', 'tables_root' or 'view_store'"
+            )
         # capacity guard (reference MaxTaskNum, server/cdc_impl.go:257-258,
         # default 100 in server/configs/cdc.yaml)
         existing = self.list()
@@ -107,7 +116,7 @@ class TaskRegistry:
             return p == root or p.startswith(root + os.sep)
 
         for other in existing:
-            for field in ("table", "tables_root", "checkpoint"):
+            for field in ("table", "tables_root", "checkpoint", "view_store"):
                 a, b = other.get(field), spec.get(field)
                 if a and b and os.path.normpath(a) == os.path.normpath(b):
                     raise ValueError(
@@ -247,6 +256,22 @@ class TaskRegistry:
                     out["src_version"] = src_v
                     out["replicated_src_version"] = pos
                     out["versions_behind"] = max(0, src_v - int(pos))
+        elif spec.get("view_store"):
+            # view-task position: run_rollup_round's cursor is the last
+            # materialized source version; versions_behind is the
+            # view-staleness lag in source snapshots. Spark-free.
+            cursor = os.path.join(spec["view_store"], "cursor.json")
+            pos = 0
+            if os.path.exists(cursor):
+                with open(cursor) as f:
+                    pos = int(json.loads(f.read())["version"])
+            out["view_version"] = pos
+            src_cur = os.path.join(spec["src_table"], "meta", "CURRENT")
+            if os.path.exists(src_cur):
+                with open(src_cur) as f:
+                    src_v = int(f.read().strip())
+                out["src_version"] = src_v
+                out["versions_behind"] = max(0, src_v - pos)
         elif spec.get("tables_root"):
             out["tables"] = {}
             for name, root in sorted(_walk_tables(spec["tables_root"])):

@@ -177,3 +177,51 @@ def test_rollup_cli_round_trip(spark, tmp_path):
 
     view = spark.read.parquet(os.path.join(r3["store"], "view"))
     assert _store_rows(view) == _store_rows(conv_rollup(t.read(spark)))
+
+
+def test_view_task_drains_and_tracks_position(spark, tmp_path):
+    """ViewTask (streaming/engine.py): availableNow drain catches the
+    view up to the source's CURRENT version; a later drain after more
+    epochs advances it again; status reports versions_behind; the
+    registry accepts/positions a view spec Spark-free."""
+    from milvus_cdc_spark.streaming.engine import ViewTask
+    from milvus_cdc_spark.streaming.registry import TaskRegistry
+
+    log = generate_changelog(
+        spark, 2400, n_parts=4, n_convs=24, turns_per_conv=6
+    )
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    mid = hi // 2
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=N_BUCKETS, overwrite=True)
+    apply_batch(spark, t, log.filter(F.col("lsn") <= mid), epoch=0)
+
+    store = str(tmp_path / "view_store")
+    task = ViewTask(spark, t.root, store, str(tmp_path / "ckpt"))
+    task.start(available_now=True)
+    assert task.wait_drained(120)
+    st = task.status()
+    assert st["versions_behind"] == 0 and st["view_version"] >= 1, st
+    view = spark.read.parquet(os.path.join(store, f"v{st['view_version']}", "view"))
+    assert _store_rows(view) == _store_rows(conv_rollup(t.read(spark)))
+
+    apply_batch(spark, t, log.filter(F.col("lsn") > mid), epoch=1)
+    assert task.status()["versions_behind"] > 0
+    task.resume(available_now=True)
+    assert task.wait_drained(120)
+    st2 = task.status()
+    assert st2["versions_behind"] == 0 and st2["view_version"] > st["view_version"]
+    view2 = spark.read.parquet(
+        os.path.join(store, f"v{st2['view_version']}", "view")
+    )
+    assert _store_rows(view2) == _store_rows(conv_rollup(t.read(spark)))
+
+    # registry: view spec round-trip + Spark-free position
+    reg = TaskRegistry(str(tmp_path / "tasks"))
+    reg.create("v1", {
+        "src_table": t.root, "view_store": store,
+        "checkpoint": str(tmp_path / "ckpt"),
+    })
+    pos = reg.position("v1")
+    assert pos["view_version"] == st2["view_version"]
+    assert pos["versions_behind"] == 0
