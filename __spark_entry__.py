@@ -347,6 +347,47 @@ def _q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_conv_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING probe: point read of ONE conversation. The key is routed
+    driver-side to its storage bucket (functions/keyhash reproduces
+    Spark's pmod(xxhash64(key), n_buckets) bit-for-bit), so the scan
+    opens 1/8 of the table's files; the key equality is pushed to the
+    parquet row groups, which the sorted compaction rewrite keeps in
+    tight (conv_id, turn_idx) min/max ranges (plans/manifest.py::lookup,
+    ::compact). The oracle replays the full log and filters to the same
+    key — so routing, pruning, and the sorted rewrite are all on trial.
+    Reference analogue: shard-key routing of point queries against the
+    replicated collection (core/writer/channel_writer.go)."""
+    log = _derive_changelog(spark, sf_dir)
+    root = _probe_table_root(sf_dir, "lookup")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    apply_batch(spark, table, log.filter(F.col("lsn") <= mid), epoch=0)
+    apply_batch(spark, table, log.filter(F.col("lsn") > mid), epoch=1)
+    table.compact(spark)  # sorted rewrite: row-group stats serve the read
+    conv = table.read(spark).agg(F.min("conv_id")).collect()[0][0]
+    return table.lookup(spark, conv).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn"
+    )
+
+
+_ORACLE_CONV_LOOKUP = f"""
+WITH log AS ({_DERIVE_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log),
+final AS (
+  SELECT conv_id, turn_idx, role, text, ts, part, lsn
+  FROM ranked WHERE rn = 1 AND op <> 'DELETE')
+SELECT * FROM final WHERE conv_id = (SELECT MIN(conv_id) FROM final)
+"""
+
+
 def _q_cdc_multi_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for the multi-collection task model (reference
     server/cdc_impl.go:1195-1208): a 3-collection multiplexed changelog is
@@ -1994,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_multi_collection"] = _q_cdc_multi_collection
     q["cdc_namespace"] = _q_cdc_namespace
     q["cdc_maintenance"] = _q_cdc_maintenance
+    q["cdc_conv_lookup"] = _q_cdc_conv_lookup
     q["cdc_time_travel"] = _q_cdc_time_travel
 
     def cdc_op_whitelist(spark, sf):  # F1
@@ -2523,6 +2565,7 @@ def oracle_sql() -> dict[str, str]:
         # maintenance must be logically invisible → same oracle as the
         # plain replay
         "cdc_maintenance": _ORACLE_FINAL_STATE,
+        "cdc_conv_lookup": _ORACLE_CONV_LOOKUP,
         "cdc_time_travel": _ORACLE_TIME_TRAVEL,
         "cdc_op_whitelist": """
             SELECT event_id, user_id, event_type FROM events

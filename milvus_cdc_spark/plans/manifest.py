@@ -429,6 +429,44 @@ class SnapshotTable:
         watermark are dead."""
         return dead_by_watermark(m.drop_watermarks, m.truncate_watermark)
 
+    def lookup(
+        self,
+        spark: SparkSession,
+        conv_id: str,
+        turn_idx: int | None = None,
+        manifest: Manifest | None = None,
+    ) -> DataFrame:
+        """Point read: one conversation (optionally one turn) out of the
+        table — the serving-path primitive a replicated transcript store
+        exists for.
+
+        Routing is DRIVER-SIDE and O(1): ``functions/keyhash.bucket_of``
+        reproduces Spark's ``pmod(xxhash64(conv_id), n_buckets)`` bit-for-
+        bit in pure Python (pinned against Spark in tests/test_lookup.py),
+        so the scan opens ONLY the key's bucket — 1/n_buckets of a 100 TB
+        table — without launching a job to find it. The key equality then
+        reaches the parquet scan as a pushed filter (Catalyst pushes it
+        through the logical projection and, on a merge-on-read table,
+        through the resolution aggregate's grouping key), and files
+        compacted with the default sort order skip non-matching row
+        groups via their min/max stats. Plan-guarded:
+        test_lookup_scans_only_key_bucket / _filter_pushed_to_scan.
+
+        Reference analogue: point queries against the replicated Milvus
+        collection route by the same shard-key hash the writer used
+        (core/writer/channel_writer.go partition-key routing).
+        """
+        m = manifest or self.current()
+        from milvus_cdc_spark.functions.keyhash import bucket_of
+
+        b = bucket_of(conv_id, m.n_buckets)
+        df = self.read(spark, manifest=m, buckets=[b]).filter(
+            F.col(m.logical_name("conv_id")) == conv_id
+        )
+        if turn_idx is not None:
+            df = df.filter(F.col(m.logical_name("turn_idx")) == turn_idx)
+        return df
+
     def changes(
         self,
         spark: SparkSession,
@@ -747,6 +785,16 @@ class SnapshotTable:
             )
             .repartition(m.n_buckets * files_per_bucket, "bucket", "_csalt")
             .drop("_csalt")
+            # Iceberg sort-order analogue (rewrite_data_files sort
+            # strategy): compacted files are ordered by (conv_id,
+            # turn_idx), so every row group's min/max stats form tight
+            # disjoint key ranges and a point lookup's pushed filter
+            # skips all but ~one row group per file. Leading "bucket"
+            # satisfies the dynamic-partition writer's required ordering,
+            # so it adds NO extra sort of its own. Epoch writes stay
+            # unsorted — sorting belongs in the read-optimizing step,
+            # not the ingest hot path.
+            .sortWithinPartitions("bucket", "conv_id", "turn_idx")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(out_dir)
@@ -839,6 +887,9 @@ class SnapshotTable:
             )
             .repartition(len(planned) * files_per_bucket, "bucket", "_csalt")
             .drop("_csalt")
+            # same sort order as compact(): folded files carry tight
+            # (conv_id, turn_idx) row-group stats for point lookups
+            .sortWithinPartitions("bucket", "conv_id", "turn_idx")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(out_dir)

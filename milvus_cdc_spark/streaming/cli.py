@@ -1,6 +1,8 @@
 """Task CLI — create / drain / tail / status / pause / resume / delete /
-list / position / compact / vacuum / convert / bootstrap / cascade,
-packaged for spark-submit. Maintenance verbs (compact / vacuum / convert)
+list / position / compact / vacuum / convert / bootstrap / cascade /
+lookup, packaged for spark-submit. ``lookup`` is the serving-path point
+read: one conversation fetched by routing its key driver-side to its one
+storage bucket (functions/keyhash). Maintenance verbs (compact / vacuum / convert)
 cover every table of a task — single-table and multi-collection trees
 alike; ``cascade`` replicates one SnapshotTable into another through its
 changes() diff (second-level tail, self-positioning).
@@ -213,6 +215,7 @@ def main(argv: list[str] | None = None) -> int:
             "create", "drain", "status", "tail", "pause", "resume",
             "delete", "list", "position", "compact", "vacuum", "bootstrap",
             "convert", "cascade", "pipeline", "rollup", "rollback", "dlq",
+            "lookup",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -291,6 +294,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="pipeline: chunk token window")
     p.add_argument("--stride", type=int, default=48,
                    help="pipeline: chunk stride")
+    p.add_argument("--conv-id", default=None,
+                   help="lookup: conversation key to fetch (routed "
+                        "driver-side to its one bucket)")
+    p.add_argument("--turn-idx", type=int, default=None,
+                   help="lookup: optional single turn within the "
+                        "conversation")
     p.add_argument("--replay-to", default=None,
                    help="dlq: move quarantined events back into this "
                         "changelog dir (repair-then-reprocess loop); "
@@ -383,6 +392,28 @@ def main(argv: list[str] | None = None) -> int:
     if a.command in ("compact", "convert"):
         spark = get_spark("milvus_cdc_spark_cli", master=a.master)
         print(json.dumps(_maintenance_roots(a, p, a.command, spark=spark)))
+        return 0
+
+    if a.command == "lookup":
+        # point read of one conversation (serving path): the key is
+        # routed DRIVER-SIDE to its storage bucket (functions/keyhash
+        # mirrors pmod(xxhash64(key), n_buckets) bit-for-bit), so the
+        # scan opens 1/n_buckets of the table and the key filter reaches
+        # the parquet row groups (plans/manifest.py::lookup)
+        if not (a.table and a.conv_id):
+            p.error("'lookup' needs --table and --conv-id")
+        from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+        spark = get_spark("milvus_cdc_spark_cli", master=a.master)
+        df = SnapshotTable(a.table).lookup(
+            spark, a.conv_id, turn_idx=a.turn_idx
+        )
+        order = [c for c in ("turn_idx", "ts", "lsn") if c in df.columns]
+        rows = [r.asDict() for r in df.orderBy(*order).collect()]
+        print(json.dumps(
+            {"conv_id": a.conv_id, "n_rows": len(rows), "rows": rows},
+            default=str,
+        ))
         return 0
 
     if a.command == "pipeline":
