@@ -347,6 +347,27 @@ def _q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for bucket-count evolution (Iceberg partition-spec-
+    evolution analogue, plans/manifest.py::rebucket): apply the older
+    half at 8 buckets, REBUCKET to 16 mid-life (full sorted rewrite
+    under the lease), then apply the newer half — the tail picks up the
+    new layout from the manifest with no other change. The oracle is
+    the plain full replay: a correct rebucket is logically invisible."""
+    log = _derive_changelog(spark, sf_dir)
+    root = _probe_table_root(sf_dir, "rebucket")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    apply_batch(spark, table, log.filter(F.col("lsn") <= mid), epoch=0)
+    table.rebucket(spark, 16)
+    apply_batch(spark, table, log.filter(F.col("lsn") > mid), epoch=1)
+    return table.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn"
+    )
+
+
 def _q_cdc_conv_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SERVING probe: point read of ONE conversation. The key is routed
     driver-side to its storage bucket (functions/keyhash reproduces
@@ -2036,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_namespace"] = _q_cdc_namespace
     q["cdc_maintenance"] = _q_cdc_maintenance
     q["cdc_conv_lookup"] = _q_cdc_conv_lookup
+    q["cdc_rebucket"] = _q_cdc_rebucket
     q["cdc_time_travel"] = _q_cdc_time_travel
 
     def cdc_op_whitelist(spark, sf):  # F1
@@ -2566,6 +2588,9 @@ def oracle_sql() -> dict[str, str]:
         # plain replay
         "cdc_maintenance": _ORACLE_FINAL_STATE,
         "cdc_conv_lookup": _ORACLE_CONV_LOOKUP,
+        # a correct mid-life rebucket is logically invisible → same
+        # oracle as the plain replay
+        "cdc_rebucket": _ORACLE_FINAL_STATE,
         "cdc_time_travel": _ORACLE_TIME_TRAVEL,
         "cdc_op_whitelist": """
             SELECT event_id, user_id, event_type FROM events

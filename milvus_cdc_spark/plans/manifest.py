@@ -590,6 +590,11 @@ class SnapshotTable:
             and cur.truncate_watermark == old.truncate_watermark
             and cur.pending_widens == old.pending_widens
             and cur.write_mode == old.write_mode
+            # a REBUCKET is content-preserving but NOT rebasable: the
+            # planning writer's buckets were computed against the old
+            # layout, so merging them would scatter keys across wrong
+            # buckets — it must fail loudly instead
+            and cur.n_buckets == old.n_buckets
         )
 
     def commit(
@@ -751,6 +756,7 @@ class SnapshotTable:
         drop_tombstones: bool = False,
         clear_drop_watermarks: bool = False,
         files_per_bucket: int = 1,
+        n_buckets: int | None = None,
     ) -> Manifest:
         """Rewrite every bucket into ``files_per_bucket`` files, physically
         removing rows dead under a partition-drop watermark (clearing the
@@ -764,8 +770,12 @@ class SnapshotTable:
         ``clear_drop_watermarks=True`` — like ``drop_tombstones=True`` for
         delete tombstones — is only safe once the changelog guarantees no
         event older than the watermark can still arrive (past the
-        source's lag watermark)."""
+        source's lag watermark).
+
+        ``n_buckets`` additionally CHANGES the table's bucket count while
+        rewriting (see :meth:`rebucket` for the semantics)."""
         m = self.current()
+        nb = n_buckets or m.n_buckets
         df = self.read(spark, manifest=m, logical=False)  # drops applied
         if drop_tombstones:
             df = df.filter(F.coalesce(F.col("alive"), F.lit(True)))
@@ -774,7 +784,7 @@ class SnapshotTable:
         (
             df.withColumn(
                 "bucket",
-                F.pmod(F.xxhash64("conv_id"), F.lit(m.n_buckets)).cast("int"),
+                F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int"),
             )
             # salt beyond the bucket key — hash-partitioning on bucket alone
             # would land each bucket in ONE task no matter the partition
@@ -783,7 +793,7 @@ class SnapshotTable:
                 "_csalt",
                 F.pmod(F.xxhash64("conv_id", F.lit(13)), F.lit(files_per_bucket)),
             )
-            .repartition(m.n_buckets * files_per_bucket, "bucket", "_csalt")
+            .repartition(nb * files_per_bucket, "bucket", "_csalt")
             .drop("_csalt")
             # Iceberg sort-order analogue (rewrite_data_files sort
             # strategy): compacted files are ordered by (conv_id,
@@ -800,7 +810,7 @@ class SnapshotTable:
             .parquet(out_dir)
         )
         files: dict[str, list[str]] = {}
-        for b in range(m.n_buckets):
+        for b in range(nb):
             bdir = os.path.join(out_dir, f"bucket={b}")
             if os.path.isdir(bdir):
                 rels = [
@@ -810,17 +820,24 @@ class SnapshotTable:
                 ]
                 if rels:
                     files[str(b)] = rels
+        summary = {**m.summary, "last_compaction_version": m.version}
+        if nb != m.n_buckets:
+            summary["rebucketed_from"] = m.n_buckets
         nm = Manifest(
             version=m.version + 1,
-            snapshot_id=self._snapshot_id(f"compact-{m.version}"),
-            n_buckets=m.n_buckets,
+            snapshot_id=self._snapshot_id(
+                f"compact-{m.version}"
+                if nb == m.n_buckets
+                else f"rebucket-{m.version}-{nb}"
+            ),
+            n_buckets=nb,
             columns=[list(c) for c in m.columns],
             renames=dict(m.renames),
             drop_watermarks={} if clear_drop_watermarks else dict(m.drop_watermarks),
             files=files,
             epochs=dict(m.epochs),
             added=list(m.added),
-            summary={**m.summary, "last_compaction_version": m.version},
+            summary=summary,
             truncate_watermark=None if clear_drop_watermarks else m.truncate_watermark,
             pending_widens=dict(m.pending_widens),
             write_mode=m.write_mode,
@@ -942,6 +959,33 @@ class SnapshotTable:
             self._write_manifest(nm)
         return {"folded": sorted(folded), "skipped": sorted(skipped),
                 "version": nm.version}
+
+    def rebucket(self, spark: SparkSession, n_buckets: int) -> Manifest:
+        """Change the table's bucket count in place — the Iceberg
+        partition-spec-evolution analogue, the lifecycle operation a
+        table growing toward 10^10 events needs: a layout sized for the
+        first month (buckets ≈ cores) eventually makes each bucket's
+        rewrite-per-epoch (CoW) or fold (MOR) too large, and point
+        lookups read 1/n_buckets of the table, so n_buckets must grow
+        with it. A full rewrite is the honest cost (every row changes
+        bucket — unlike Iceberg spec evolution, which lazily applies the
+        new spec to new data only, the merge write requires ONE layout
+        for join co-partitioning, so the rewrite happens eagerly).
+
+        Offline operation under the commit lease: a racing epoch commit
+        planned against the old layout fails loudly (``n_buckets`` is
+        excluded from the maintenance rebase — its buckets would scatter
+        keys). Everything else follows CURRENT automatically: the next
+        ``apply_batch`` and every ``lookup`` read ``n_buckets`` from the
+        manifest. Epochs, schema, watermarks, and write_mode are all
+        preserved; the rewrite is sorted (tight row-group stats).
+        Idempotent (same count = no-op)."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        m = self.current()
+        if n_buckets == m.n_buckets:
+            return m
+        return self.compact(spark, n_buckets=n_buckets)
 
     def convert(self, spark: SparkSession, write_mode: str) -> Manifest:
         """Migrate the table's write mode in place (CoW ⇄ MOR) — the

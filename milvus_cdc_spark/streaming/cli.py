@@ -2,9 +2,9 @@
 list / position / compact / vacuum / convert / bootstrap / cascade /
 lookup, packaged for spark-submit. ``lookup`` is the serving-path point
 read: one conversation fetched by routing its key driver-side to its one
-storage bucket (functions/keyhash). Maintenance verbs (compact / vacuum / convert)
-cover every table of a task — single-table and multi-collection trees
-alike; ``cascade`` replicates one SnapshotTable into another through its
+storage bucket (functions/keyhash). Maintenance verbs (compact / vacuum /
+convert / rebucket) cover every table of a task — single-table and
+multi-collection trees alike; ``cascade`` replicates one SnapshotTable into another through its
 changes() diff (second-level tail, self-positioning).
 
 The analogue of the reference's HTTP task API — all eight task verbs
@@ -204,6 +204,9 @@ def _maintenance_roots(a, p, verb: str, spark=None) -> dict:
         elif verb == "convert":
             m = t.convert(spark, a.write_mode)
             out[name] = {"version": m.version, "write_mode": m.write_mode}
+        elif verb == "rebucket":
+            m = t.rebucket(spark, a.to_buckets)
+            out[name] = {"version": m.version, "n_buckets": m.n_buckets}
     return out
 
 
@@ -215,7 +218,7 @@ def main(argv: list[str] | None = None) -> int:
             "create", "drain", "status", "tail", "pause", "resume",
             "delete", "list", "position", "compact", "vacuum", "bootstrap",
             "convert", "cascade", "pipeline", "rollup", "rollback", "dlq",
-            "lookup",
+            "lookup", "rebucket",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -294,6 +297,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="pipeline: chunk token window")
     p.add_argument("--stride", type=int, default=48,
                    help="pipeline: chunk stride")
+    p.add_argument("--to-buckets", type=int, default=None,
+                   help="rebucket: new bucket count (partition-spec "
+                        "evolution; full sorted rewrite under the lease — "
+                        "pause the task first)")
     p.add_argument("--conv-id", default=None,
                    help="lookup: conversation key to fetch (routed "
                         "driver-side to its one bucket)")
@@ -389,7 +396,9 @@ def main(argv: list[str] | None = None) -> int:
     from milvus_cdc_spark.session import get_spark
     from milvus_cdc_spark.streaming.engine import FailProtect
 
-    if a.command in ("compact", "convert"):
+    if a.command in ("compact", "convert", "rebucket"):
+        if a.command == "rebucket" and not a.to_buckets:
+            p.error("'rebucket' needs --to-buckets")
         spark = get_spark("milvus_cdc_spark_cli", master=a.master)
         print(json.dumps(_maintenance_roots(a, p, a.command, spark=spark)))
         return 0
