@@ -1030,6 +1030,67 @@ class SnapshotTable:
             self._write_manifest(nm)
         return nm
 
+    def stats(self) -> dict[str, Any]:
+        """Table inspection WITHOUT a Spark session — the Iceberg
+        metadata-tables analogue (``files`` / ``partitions`` /
+        ``snapshots``): per-bucket file counts, physical rows and bytes
+        read from parquet FOOTERS (no data pages touched), the max
+        delta-chain depth (the MOR housekeeping signal auto-compaction
+        triggers on), schema at logical names, watermarks, epoch span,
+        and the retained time-travel window. Drives the CLI ``stats``
+        verb (Spark-free, like ``vacuum``).
+
+        ``physical_rows`` counts stored rows — including delete
+        tombstones and unresolved multi-version MOR rows — so it is an
+        upper bound on the logical count, not equal to it. A production
+        manifest would record per-file stats at commit time (Iceberg
+        does); reading footers keeps this implementation honest at
+        O(#files) metadata fetches, never a data scan."""
+        import pyarrow.parquet as pq
+
+        m = self.current()
+        buckets: dict[str, dict[str, int]] = {}
+        total_rows = total_bytes = total_files = max_chain = 0
+        for b, rels in sorted(m.files.items(), key=lambda kv: int(kv[0])):
+            rows = size = 0
+            for rel in rels:
+                full = os.path.join(self.root, rel)
+                rows += pq.ParquetFile(full).metadata.num_rows
+                size += os.path.getsize(full)
+            buckets[b] = {"files": len(rels), "rows": rows, "bytes": size}
+            total_rows += rows
+            total_bytes += size
+            total_files += len(rels)
+            max_chain = max(max_chain, len(rels))
+        retained = sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        epochs = [int(e) for e in m.epochs]
+        return {
+            "version": m.version,
+            "snapshot_id": m.snapshot_id,
+            "write_mode": m.write_mode,
+            "n_buckets": m.n_buckets,
+            "columns": [[m.logical_name(n), t] for n, t in m.columns],
+            "n_files": total_files,
+            "physical_rows": total_rows,
+            "bytes": total_bytes,
+            "max_delta_chain": max_chain,
+            "epochs": {
+                "count": len(epochs),
+                "min": min(epochs) if epochs else None,
+                "max": max(epochs) if epochs else None,
+            },
+            "drop_watermarks": dict(m.drop_watermarks),
+            "truncate_watermark": m.truncate_watermark,
+            "retained_versions": (
+                [retained[0], retained[-1]] if retained else []
+            ),
+            "buckets": buckets,
+        }
+
     def rollback(self, to_version: int) -> Manifest:
         """Restore the table to an earlier snapshot — the Iceberg
         ``rollback_to_snapshot`` analogue (and the recovery story the

@@ -218,7 +218,7 @@ def main(argv: list[str] | None = None) -> int:
             "create", "drain", "status", "tail", "pause", "resume",
             "delete", "list", "position", "compact", "vacuum", "bootstrap",
             "convert", "cascade", "pipeline", "rollup", "rollback", "dlq",
-            "lookup", "rebucket",
+            "lookup", "rebucket", "stats",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -321,6 +321,17 @@ def main(argv: list[str] | None = None) -> int:
         # multi-collection trees alike (the reference's one maintenance
         # verb serves any task, server/cdc_api.go:26-36)
         print(json.dumps(_maintenance_roots(a, p, "vacuum")))
+        return 0
+    if a.command == "stats":
+        # table inspection — Spark-free (manifest + parquet footers only,
+        # SnapshotTable.stats, the Iceberg metadata-tables analogue);
+        # covers every table of a task like the other maintenance verbs
+        from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+        print(json.dumps({
+            name: SnapshotTable(root).stats()
+            for name, root in _task_table_roots(a, p)
+        }))
         return 0
     if a.command == "rollback":
         # undo bad epochs by restoring an earlier snapshot

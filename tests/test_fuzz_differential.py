@@ -4,7 +4,8 @@ Each case draws EVERYTHING from one deterministic ``random.Random(seed)``:
 the changelog shape (skew, tie groups, delete/upsert mix, which DDL kinds
 are present), the write mode, the bucket count, the epoch boundaries, the
 epoch application ORDER, committed-epoch replays, and the maintenance
-actions interleaved between epochs (compact / vacuum / CoW→MOR convert).
+actions interleaved between epochs (compact / vacuum / CoW→MOR convert /
+rebucket).
 The final table must always equal ``oracle.replay`` over the full log —
 the same convergence contract the reference's randomized checker threads
 assert end-to-end (reference tests/base/checker.py:86-131 drive random
@@ -86,6 +87,10 @@ def _run_case(spark, tmp_path, seed: int) -> None:
                 table.convert(spark, "mor")
                 write_mode = "mor"
                 trace.append("convert->mor")
+            elif act < 0.50:
+                nb2 = rng.choice([2, 4, 8, 16])
+                table.rebucket(spark, nb2)  # same-count draw = no-op path
+                trace.append(f"rebucket->{nb2}")
 
         df = table.read(spark)
         got_cols = sorted(df.columns)
@@ -168,6 +173,10 @@ def test_fuzz_patch_stream_converges(spark, tmp_path, seed):
                 table.convert(spark, "mor")
                 write_mode = "mor"
                 trace.append("convert->mor")
+            elif act < 0.50:
+                nb2 = rng.choice([2, 4, 8, 16])
+                table.rebucket(spark, nb2)  # same-count draw = no-op path
+                trace.append(f"rebucket->{nb2}")
 
         df = table.read(spark)
         cols = sorted(df.columns)
