@@ -208,6 +208,11 @@ class Manifest:
     # reads resolve last-writer per key until compaction folds the
     # deltas. Fixed at create; default keeps pre-MOR manifests parsing.
     write_mode: str = "cow"
+    # wall-clock commit time (UTC epoch seconds), stamped by
+    # _write_manifest — powers timestamp-based time travel
+    # (at_timestamp, the Iceberg as-of-timestamp analogue). NOT part of
+    # the deterministic snapshot id; None on pre-stamp manifests.
+    committed_at: float | None = None
 
     def physical_schema(self) -> T.StructType:
         # System columns: `alive` — False rows are delete tombstones kept so
@@ -291,6 +296,27 @@ class SnapshotTable:
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
             return Manifest.from_json(f.read())
 
+    def at_timestamp(self, ts: float) -> Manifest:
+        """The snapshot CURRENT as of wall-clock ``ts`` (UTC epoch
+        seconds) — the Iceberg ``as-of-timestamp`` travel analogue:
+        the latest retained manifest whose ``committed_at`` ≤ ts.
+        Raises ValueError if every retained version is newer (the
+        asked-for state is expired or predates the table)."""
+        best = None
+        for fn in os.listdir(self.meta_dir):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            m = self.at_version(int(fn[1:-5]))
+            if m.committed_at is not None and m.committed_at <= ts:
+                if best is None or m.version > best.version:
+                    best = m
+        if best is None:
+            raise ValueError(
+                f"{self.root}: no retained snapshot at or before "
+                f"ts={ts} (expired by vacuum, or before table creation)"
+            )
+        return best
+
     def _snapshot_id(self, label) -> str:
         """Deterministic snapshot id; ``label`` is an epoch int or a
         maintenance label like 'compact-3' — distinct label spaces so a
@@ -299,6 +325,7 @@ class SnapshotTable:
         return "snap-" + hashlib.sha1(raw).hexdigest()[:16]
 
     def _write_manifest(self, m: Manifest) -> None:
+        m.committed_at = time.time()
         path = os.path.join(self.meta_dir, f"v{m.version}.json")
         with open(path, "w") as f:
             f.write(m.to_json())

@@ -307,6 +307,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--turn-idx", type=int, default=None,
                    help="lookup: optional single turn within the "
                         "conversation")
+    p.add_argument("--at-version", type=int, default=None,
+                   help="lookup: read at this retained snapshot version "
+                        "(time travel) instead of CURRENT")
     p.add_argument("--replay-to", default=None,
                    help="dlq: move quarantined events back into this "
                         "changelog dir (repair-then-reprocess loop); "
@@ -425,8 +428,13 @@ def main(argv: list[str] | None = None) -> int:
         from milvus_cdc_spark.plans.manifest import SnapshotTable
 
         spark = get_spark("milvus_cdc_spark_cli", master=a.master)
-        df = SnapshotTable(a.table).lookup(
-            spark, a.conv_id, turn_idx=a.turn_idx
+        t = SnapshotTable(a.table)
+        df = t.lookup(
+            spark, a.conv_id, turn_idx=a.turn_idx,
+            manifest=(
+                t.at_version(a.at_version)
+                if a.at_version is not None else None
+            ),
         )
         order = [c for c in ("turn_idx", "ts", "lsn") if c in df.columns]
         rows = [r.asDict() for r in df.orderBy(*order).collect()]

@@ -181,6 +181,46 @@ def test_compaction_writes_sorted_files(spark, tmp_path):
     assert got == want and got
 
 
+def test_lookup_time_travel(spark, tmp_path):
+    """Point read at an older snapshot (version AND wall-clock
+    timestamp): a conversation's turns as of epoch 0 must ignore epoch
+    1+ updates — the Iceberg as-of travel analogues."""
+    import time as _time
+
+    t = _build(spark, tmp_path, epochs=1, n=2000)
+    m0 = t.current()
+    assert m0.committed_at is not None
+    mid_ts = _time.time()
+    _time.sleep(0.05)
+    # advance the table with a second epoch of later events
+    log2 = generate_changelog(
+        spark, 4000, n_parts=4, n_convs=50, turns_per_conv=8
+    ).filter(F.col("lsn") >= 2000)
+    apply_batch(spark, t, log2, epoch=1)
+    assert t.current().version > m0.version
+    conv = sorted(
+        r.conv_id
+        for r in t.read(spark, manifest=m0).select("conv_id").distinct().collect()
+    )[0]
+    want_old = sorted(
+        (r.turn_idx, r.lsn)
+        for r in t.read(spark, manifest=m0)
+        .filter(F.col("conv_id") == conv).collect()
+    )
+    got_v = sorted(
+        (r.turn_idx, r.lsn)
+        for r in t.lookup(spark, conv, manifest=t.at_version(m0.version)).collect()
+    )
+    assert got_v == want_old
+    # timestamp travel resolves to the same snapshot
+    assert t.at_timestamp(mid_ts).version == m0.version
+    assert t.at_timestamp(_time.time()).version == t.current().version
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.at_timestamp(m0.committed_at - 1000)
+
+
 def test_lookup_cli_verb(spark, tmp_path):
     """CLI round-trip: lookup --table --conv-id prints the conversation."""
     import json
