@@ -812,6 +812,75 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
 
 
+def _q_cdc_schema_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for DROP_COLUMN (Iceberg drop-column evolution with
+    name-retirement convergence — schemas.OP_DROP_COLUMN; reference:
+    schema changes replicate through the op channel,
+    core/reader/etcd_op.go:609-660): epoch 0 writes the older half of the
+    log WITH tool values; epoch 1 applies ADD_COLUMN(score int),
+    DROP_COLUMN(tool), then a second ADD_COLUMN(tool) that must be a
+    retired-name NO-OP; epoch 2 applies the newer half (whose events still
+    carry tool — discarded — and score in the dynamic bag). The final
+    read must project score but neither the tool column nor any stored
+    tool value (metadata-only drop, no resurrection)."""
+    from datetime import datetime
+
+    log = _derive_changelog(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    log = log.withColumn(
+        "extra",
+        F.when(
+            F.col("lsn") > mid,
+            F.create_map(
+                F.lit("score"),
+                F.pmod(F.col("lsn"), F.lit(1000)).cast("string"),
+            ),
+        ),
+    )
+    ts0 = datetime(2024, 1, 1)
+    ddl = spark.createDataFrame(
+        [
+            (hi + 1, ts0, 0, S.OP_ADD_COLUMN, None, None, None, None, None,
+             '{"column":"score","type":"int"}', None),
+            (hi + 2, ts0, 0, S.OP_DROP_COLUMN, None, None, None, None, None,
+             '{"column":"tool"}', None),
+            (hi + 3, ts0, 0, S.OP_ADD_COLUMN, None, None, None, None, None,
+             '{"column":"tool","type":"string"}', None),
+        ],
+        S.CHANGELOG_SCHEMA,
+    )
+    root = _probe_table_root(sf_dir, "schema_drop")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    apply_batch(spark, table, log.filter(F.col("lsn") <= mid), epoch=0)
+    apply_batch(spark, table, ddl, epoch=1)
+    apply_batch(spark, table, log.filter(F.col("lsn") > mid), epoch=2)
+    assert "tool" not in table.read(spark).columns
+    return table.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn", "score"
+    )
+
+
+# the drop is metadata-only with name retirement, so the oracle is the
+# plain last-writer fold WITHOUT the tool column; score exists only on
+# events newer than the mid-log split (dynamic bag, lsn % 1000)
+_ORACLE_SCHEMA_DROP = f"""
+WITH log AS ({_DERIVE_SQL}),
+m AS (SELECT CAST(FLOOR(MAX(lsn) / 2) AS BIGINT) AS mid FROM log),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM log)
+SELECT conv_id, turn_idx, role, text, ts, part, lsn,
+       CASE WHEN lsn > (SELECT mid FROM m)
+            THEN CAST(lsn % 1000 AS INT) END AS score
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+"""
+
+
 def _q_cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for the merge-on-read write mode (Iceberg v2 MOR
     analogue, operators/apply.py::_append_delta +
@@ -2039,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_debezium"] = _q_cdc_debezium
     q["cdc_debezium_ddl"] = _q_cdc_debezium_ddl
     q["cdc_schema_widen"] = _q_cdc_schema_widen
+    q["cdc_schema_drop"] = _q_cdc_schema_drop
     q["cdc_bootstrap"] = _q_cdc_bootstrap
     q["cdc_table_changes"] = _q_cdc_table_changes
     q["doc_dedup_incremental"] = _q_doc_dedup_incremental
@@ -2554,6 +2624,7 @@ def oracle_sql() -> dict[str, str]:
         # must land the widened final state (score added-but-null)
         "cdc_debezium_ddl": _ORACLE_DEBEZIUM_DDL,
         "cdc_schema_widen": _ORACLE_SCHEMA_WIDEN,
+        "cdc_schema_drop": _ORACLE_SCHEMA_DROP,
         # bootstrap(old-state) + tail(newer half) must equal the FULL
         # replay — the handover proof, so the flagship oracle is reused
         "cdc_bootstrap": _ORACLE_FINAL_STATE,

@@ -150,23 +150,28 @@ def _parse_ddl(
     list[tuple[str, str]],
     dict[str, str],
     dict[str, str],
+    list[str],
     dict[int, str],
     str | None,
 ]:
-    """(add_columns, renames{from→to}, widens{column→type},
+    """(add_columns, renames{from→to}, widens{column→type}, drop_columns,
     drop_watermarks{part→iso ts}, truncate_ts) from DDL rows.
 
     adds are deduped by column name (at-least-once upstream delivery can
     replay the same ADD_COLUMN into one batch); unknown types degrade to
     string rather than poisoning the manifest schema. Several WIDEN_COLUMNs
     for one column in a batch keep the widest (lattice max — replays
-    converge)."""
+    converge). DROP_COLUMNs dedupe into an ordered retirement list
+    (schemas.OP_DROP_COLUMN name-retirement semantics — the commit filters
+    adds against it, so add+drop of one name converges to "absent" under
+    any batching)."""
     from milvus_cdc_spark.plans.manifest import _SPARK_TYPES, is_widening
 
     adds: list[tuple[str, str]] = []
     seen_adds: set[str] = set()
     renames: dict[str, str] = {}
     widens: dict[str, str] = {}
+    drop_cols: list[str] = []
     drops: dict[int, str] = {}
     truncate_ts: str | None = None
     bad: list[tuple[Any, str]] = []  # (row, reason) — caller decides fate
@@ -180,7 +185,7 @@ def _parse_ddl(
             continue
         try:
             _apply_one_ddl(
-                r, arg, adds, seen_adds, renames, widens, drops
+                r, arg, adds, seen_adds, renames, widens, drop_cols, drops
             )
         except (KeyError, TypeError, ValueError) as e:
             bad.append((r, f"invalid ddl args: {e!r}"))
@@ -189,13 +194,14 @@ def _parse_ddl(
             ts = r["ts"].isoformat(sep=" ")
             if truncate_ts is None or ts > truncate_ts:
                 truncate_ts = ts
-    return adds, renames, widens, drops, truncate_ts, bad
+    return adds, renames, widens, drop_cols, drops, truncate_ts, bad
 
 
-def _apply_one_ddl(r, arg, adds, seen_adds, renames, widens, drops) -> None:
+def _apply_one_ddl(r, arg, adds, seen_adds, renames, widens, drop_cols, drops) -> None:
     """One DDL row's effect on the accumulators; raises KeyError/TypeError/
     ValueError on args that don't fit the op's contract (missing 'column'/
-    'from'/'to', non-integer 'part') — the caller quarantines those."""
+    'from'/'to', non-integer 'part', protected-column drop) — the caller
+    quarantines those."""
     from milvus_cdc_spark.plans.manifest import _SPARK_TYPES, is_widening
 
     if r["op"] == S.OP_ADD_COLUMN:
@@ -214,6 +220,16 @@ def _apply_one_ddl(r, arg, adds, seen_adds, renames, widens, drops) -> None:
             name not in widens or is_widening(widens[name], typ)
         ):
             widens[name] = typ
+    elif r["op"] == S.OP_DROP_COLUMN:
+        name = arg["column"]
+        if not isinstance(name, str) or not name:
+            raise ValueError(f"DROP_COLUMN needs a column name, got {name!r}")
+        if name in S.PROTECTED_COLUMNS:
+            raise ValueError(
+                f"DROP_COLUMN may not remove key/system column {name!r}"
+            )
+        if name not in drop_cols:
+            drop_cols.append(name)
     elif r["op"] == S.OP_DROP_PARTITION:
         part = int(arg.get("part", r["part"]))
         ts = r["ts"].isoformat(sep=" ")
@@ -703,9 +719,15 @@ def apply_batch(
         .collect()
     )
     ddl_rows = [d for r in per_part for d in r["ddl"]]
-    adds, renames, new_widens, new_drops, new_truncate, bad_ddl = _parse_ddl(
-        ddl_rows
+    adds, renames, new_widens, drop_cols, new_drops, new_truncate, bad_ddl = (
+        _parse_ddl(ddl_rows)
     )
+    # DROP_COLUMN retirement: a name dropped here or in any earlier epoch
+    # never rejoins the schema — filter this batch's adds up front so the
+    # epoch neither promotes payload into a doomed column nor writes it
+    retired = set(m.dropped) | set(drop_cols)
+    if retired:
+        adds = [(c, t) for c, t in adds if c not in retired]
     touched = sorted({b for r in per_part for b in r["buckets"]})
     n_insert = sum(r["n_insert"] for r in per_part)
     n_patch = sum(r["n_patch"] for r in per_part)
@@ -797,7 +819,13 @@ def apply_batch(
         c for c in physical_cols if c not in ("conv_id", "turn_idx", "ts", "part", "lsn")
         and c not in _BASE_PAYLOAD
     ] + [c for c, _ in adds if c not in physical_cols]
-    payload_cols = _BASE_PAYLOAD + evolved_payload
+    # a base payload column dropped in an EARLIER epoch is gone from the
+    # manifest — the merge target has no such physical column, so this
+    # epoch must neither read nor carry it (the event's value is discarded,
+    # matching the sequential oracle: dropped columns never resurface)
+    payload_cols = [
+        c for c in _BASE_PAYLOAD if c in physical_cols
+    ] + evolved_payload
 
     # ---- 3. dedup to surviving actions (computed lazily; materialized
     # inside the single merge+write job below)
@@ -1054,6 +1082,7 @@ def apply_batch(
         add_columns=adds,
         renames=renames,
         widen_columns=new_widens,
+        drop_columns=drop_cols,
         drop_watermarks=new_drops,
         truncate_watermark=new_truncate,
         summary_delta=(

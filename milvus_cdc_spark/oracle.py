@@ -35,6 +35,7 @@ _RANKS = {
     # metadata-only type promotion: values are plain Python ints either
     # way, so the sequential fold just skips it
     S.OP_WIDEN_COLUMN: 3,
+    S.OP_DROP_COLUMN: 3,
 }
 
 
@@ -45,13 +46,29 @@ def replay(events: list[dict[str, Any]]) -> tuple[list[dict[str, Any]], list[str
     state: dict[tuple[str, int], dict[str, Any]] = {}
     added_cols: list[str] = []
     renames: dict[str, str] = {}
+    # DROP_COLUMN name retirement (schemas.OP_DROP_COLUMN): retired names
+    # — logical at drop time AND the underlying base name — never come
+    # back; an ADD on a retired name is a no-op. Matches the engine's
+    # monotone retired set (manifest.dropped).
+    retired: set[str] = set()
+    base_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "part", "lsn"]
 
     for e in sorted(events, key=lambda e: (e["ts"], _RANKS[e["op"]], e["lsn"])):
         op = e["op"]
         if op == S.OP_ADD_COLUMN:
             col = json.loads(e["ddl_arg"])["column"]
-            if col not in added_cols:
+            if col not in added_cols and col not in retired:
                 added_cols.append(col)
+        elif op == S.OP_DROP_COLUMN:
+            col = json.loads(e["ddl_arg"])["column"]
+            retired.add(col)
+            # resolve the current logical name back to its base column so
+            # a renamed-then-dropped column retires its physical slot too
+            phys = next((k for k in base_cols if renames.get(k, k) == col), None)
+            if phys is not None:
+                retired.add(phys)
+            if col in added_cols:
+                added_cols.remove(col)
         elif op == S.OP_RENAME_COLUMN:
             arg = json.loads(e["ddl_arg"])
             renames[arg["from"]] = arg["to"]
@@ -102,15 +119,15 @@ def replay(events: list[dict[str, Any]]) -> tuple[list[dict[str, Any]], list[str
                 "_extra": e.get("extra") or {},
             }
 
-    logical_cols = [
-        renames.get(c, c)
-        for c in ["conv_id", "turn_idx", "role", "text", "tool", "ts", "part", "lsn"]
-    ] + added_cols
+    # dropped columns leave the output entirely — retirement is forever,
+    # so values stored mid-fold can never resurface (no re-add exists)
+    live_base = [c for c in base_cols if c not in retired
+                 and renames.get(c, c) not in retired]
+    logical_cols = [renames.get(c, c) for c in live_base] + added_cols
 
     rows = []
     for v in sorted(state.values(), key=lambda r: (r["conv_id"], r["turn_idx"])):
-        row = {renames.get(k, k): v[k] for k in
-               ["conv_id", "turn_idx", "role", "text", "tool", "ts", "part", "lsn"]}
+        row = {renames.get(k, k): v[k] for k in live_base}
         for c in added_cols:
             row[c] = v["_extra"].get(c)
         rows.append(row)

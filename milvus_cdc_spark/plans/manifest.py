@@ -213,6 +213,14 @@ class Manifest:
     # (at_timestamp, the Iceberg as-of-timestamp analogue). NOT part of
     # the deterministic snapshot id; None on pre-stamp manifests.
     committed_at: float | None = None
+    # DROP_COLUMN retirement set (sorted list; schemas.OP_DROP_COLUMN):
+    # every name a drop ever targeted — the logical name at drop time AND
+    # the physical column it resolved to. ADD_COLUMN on a retired name is
+    # a no-op, which is what makes drop order-independent across batches
+    # (the set is monotone under union) and makes resurrection of a
+    # dropped physical column impossible (it can never re-enter
+    # ``columns``). Default keeps pre-drop manifests parsing.
+    dropped: list[str] = field(default_factory=list)
 
     def physical_schema(self) -> T.StructType:
         # System columns: `alive` — False rows are delete tombstones kept so
@@ -616,6 +624,7 @@ class SnapshotTable:
             and cur.drop_watermarks == old.drop_watermarks
             and cur.truncate_watermark == old.truncate_watermark
             and cur.pending_widens == old.pending_widens
+            and cur.dropped == old.dropped
             and cur.write_mode == old.write_mode
             # a REBUCKET is content-preserving but NOT rebasable: the
             # planning writer's buckets were computed against the old
@@ -633,6 +642,7 @@ class SnapshotTable:
         add_columns: list[tuple[str, str]] | None = None,
         renames: dict[str, str] | None = None,
         widen_columns: dict[str, str] | None = None,
+        drop_columns: list[str] | None = None,
         drop_watermarks: dict[int, str] | None = None,
         truncate_watermark: str | None = None,
         summary_delta: dict[str, Any] | None = None,
@@ -680,6 +690,7 @@ class SnapshotTable:
                 add_columns=add_columns,
                 renames=renames,
                 widen_columns=widen_columns,
+                drop_columns=drop_columns,
                 drop_watermarks=drop_watermarks,
                 truncate_watermark=truncate_watermark,
                 summary_delta=summary_delta,
@@ -695,6 +706,7 @@ class SnapshotTable:
         add_columns=None,
         renames=None,
         widen_columns=None,
+        drop_columns=None,
         drop_watermarks=None,
         truncate_watermark=None,
         summary_delta=None,
@@ -711,8 +723,14 @@ class SnapshotTable:
         columns = [list(c) for c in m.columns]
         added = list(m.added)
         have = {c[0] for c in columns}
+        # DROP_COLUMN retirement (schemas.OP_DROP_COLUMN): a retired name
+        # never rejoins the schema, so adds filter against the retired set
+        # FIRST — an add and a drop of one name in either order (same
+        # batch or split across out-of-order batches) converge to "absent"
+        dropped = set(m.dropped)
+        drop_set = set(drop_columns or [])
         for name, typ in add_columns or []:
-            if name not in have:
+            if name not in have and name not in dropped and name not in drop_set:
                 columns.append([name, typ])
                 added.append(name)
                 have.add(name)  # dedupe replayed ADD_COLUMNs in one batch
@@ -743,6 +761,32 @@ class SnapshotTable:
             # batches — the any-batching-converges invariant
             physical = next((p for p in have if ren.get(p, p) == frm), frm)
             ren[physical] = to
+        # drops run AFTER renames so "rename a→b, drop b" in one batch
+        # resolves to physical a; a name that is itself a physical column
+        # (e.g. "drop b, rename b→c" — the rename already retargeted the
+        # logical view) falls back to the direct-physical match. BOTH the
+        # drop-time logical name and the physical slot retire.
+        for name in drop_set:
+            physical = next((p for p in have if ren.get(p, p) == name), None)
+            if physical is None and name in have:
+                physical = name
+            if physical is not None:
+                from milvus_cdc_spark import schemas as _S
+
+                if physical in _S.PROTECTED_COLUMNS:
+                    raise ValueError(
+                        f"DROP_COLUMN may not remove key/system column "
+                        f"{physical!r} (requested as {name!r})"
+                    )
+                columns = [c for c in columns if c[0] != physical]
+                have.discard(physical)
+                if physical in added:
+                    added.remove(physical)
+                ren.pop(physical, None)
+                pending.pop(physical, None)
+                dropped.add(physical)
+            pending.pop(name, None)
+            dropped.add(name)
         wm = dict(m.drop_watermarks)
         for part, ts in (drop_watermarks or {}).items():
             old = wm.get(str(part))
@@ -771,6 +815,7 @@ class SnapshotTable:
             truncate_watermark=trunc,
             pending_widens=pending,
             write_mode=m.write_mode,
+            dropped=sorted(dropped),
         )
         self._write_manifest(nm)
         return nm
@@ -868,6 +913,7 @@ class SnapshotTable:
             truncate_watermark=None if clear_drop_watermarks else m.truncate_watermark,
             pending_widens=dict(m.pending_widens),
             write_mode=m.write_mode,
+            dropped=list(m.dropped),
         )
         with self.commit_lease():
             cur_v = self._current_version()
@@ -982,6 +1028,7 @@ class SnapshotTable:
                 truncate_watermark=cur.truncate_watermark,
                 pending_widens=dict(cur.pending_widens),
                 write_mode=cur.write_mode,
+                dropped=list(cur.dropped),
             )
             self._write_manifest(nm)
         return {"folded": sorted(folded), "skipped": sorted(skipped),
@@ -1045,6 +1092,7 @@ class SnapshotTable:
             truncate_watermark=m.truncate_watermark,
             pending_widens=dict(m.pending_widens),
             write_mode=write_mode,
+            dropped=list(m.dropped),
         )
         with self.commit_lease():
             cur_v = self._current_version()
@@ -1165,6 +1213,7 @@ class SnapshotTable:
             truncate_watermark=old.truncate_watermark,
             pending_widens=dict(old.pending_widens),
             write_mode=old.write_mode,
+            dropped=list(old.dropped),
         )
         with self.commit_lease():
             cur_v = self._current_version()

@@ -40,6 +40,27 @@ OP_RENAME_COLUMN = "RENAME_COLUMN"
 # ``{"column": <logical name>, "type": <wider type>}``.
 OP_WIDEN_COLUMN = "WIDEN_COLUMN"
 
+# column removal — the Iceberg drop-column evolution analogue, with NAME
+# RETIREMENT convergence semantics: the column leaves the logical schema
+# (metadata-only — stored files are untouched and simply stop projecting
+# the column), and the name is retired FOREVER — a later ADD_COLUMN with
+# a retired name is a documented no-op. Retirement is what makes the op
+# safe under the engine's any-batch-order invariant: the retired set is
+# MONOTONE (set-union across batches is order-independent), whereas
+# Iceberg-style re-add-as-new-field would make the final schema depend on
+# whether the DROP's batch applied before or after the ADD's. It also
+# rules out resurrection by construction: a dropped physical column can
+# never re-enter the read schema, so pre-drop values stay dead without
+# field-id machinery or a data rewrite. Key/system columns (conv_id,
+# turn_idx, ts, part, lsn) are protected — dropping one is malformed DDL
+# (quarantined/fails per on_malformed). ddl_arg:
+# ``{"column": <logical name at drop time>}``.
+OP_DROP_COLUMN = "DROP_COLUMN"
+
+# key/system columns DROP_COLUMN may never remove: the merge key, the
+# ordering identity, and the partition column the drop watermarks target
+PROTECTED_COLUMNS = ("conv_id", "turn_idx", "ts", "part", "lsn")
+
 # partial-row update: non-null payload columns overwrite, null payload
 # columns are LEFT UNCHANGED — the Debezium/Mongo-$set "patch" shape a
 # transcript log needs when a tool RESULT lands on a turn emitted earlier
@@ -65,6 +86,7 @@ DDL_OPS = (
     OP_ADD_COLUMN,
     OP_RENAME_COLUMN,
     OP_WIDEN_COLUMN,
+    OP_DROP_COLUMN,
 )
 ALL_OPS = DML_OPS + DDL_OPS
 

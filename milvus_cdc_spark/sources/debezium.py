@@ -183,11 +183,14 @@ def to_debezium(changelog: DataFrame) -> DataFrame:
 # message becomes OP_ADD_COLUMN, a mapped-type change on an existing name
 # becomes OP_WIDEN_COLUMN (the engine's is_widening check still owns
 # legality — an illegal "widen" degrades to the engine's documented
-# no-op). Renames are NOT representable (Debezium history shows them as a
-# dropped+added name; the native changelog carries OP_RENAME_COLUMN
-# directly), and column drops are ignored (the engine has no DROP_COLUMN
-# — extra physical columns are harmless). Reference analogue: schema
-# changes replicate through the op channel (core/reader/etcd_op.go:609-660).
+# no-op). A name present in the previous state but missing from the new
+# one becomes OP_DROP_COLUMN (the engine's name-retirement drop). Renames
+# are NOT representable: Debezium history shows a rename as exactly that
+# dropped+added pair, which this decoder therefore surfaces as DROP(old)
+# + ADD(new) — values do not carry across (the retirement contract); a
+# producer that needs value-preserving renames must use the native
+# changelog's OP_RENAME_COLUMN. Reference analogue: schema changes
+# replicate through the op channel (core/reader/etcd_op.go:609-660).
 
 HISTORY_PAYLOAD_SCHEMA = T.StructType(
     [
@@ -255,7 +258,7 @@ def read_debezium_history(
     spark: SparkSession, path: str, multi_table: bool = False
 ) -> DataFrame:
     """Batch scan of a schema-history JSON-lines directory → CHANGELOG
-    DDL rows (OP_ADD_COLUMN / OP_WIDEN_COLUMN).
+    DDL rows (OP_ADD_COLUMN / OP_WIDEN_COLUMN / OP_DROP_COLUMN).
 
     Per-table consecutive-state diff via one window ``lag`` (the shuffle
     key is the table id — history topics are DDL-scale, never
@@ -305,6 +308,10 @@ def read_debezium_history(
             lambda p2: (p2["name"] == c["name"]) & (p2["type"] != c["type"]),
         ),
     )
+    removed = F.filter(
+        F.col("prev"),
+        lambda p2: ~F.exists(F.col("cols"), lambda c: c["name"] == p2["name"]),
+    )
     events = rows.select(
         "lsn", "ts", "table_id",
         F.explode(
@@ -330,6 +337,15 @@ def read_debezium_history(
                                 c["name"].alias("column"),
                                 c["type"].alias("type"),
                             )
+                        ).alias("ddl_arg"),
+                    ),
+                ),
+                F.transform(
+                    removed,
+                    lambda c: F.struct(
+                        F.lit(S.OP_DROP_COLUMN).alias("op"),
+                        F.to_json(
+                            F.struct(c["name"].alias("column"))
                         ).alias("ddl_arg"),
                     ),
                 ),

@@ -264,6 +264,45 @@ def test_schema_history_decodes_add_and_widen(spark, tmp_path):
     # deterministic (ordered by ddl_arg)
 
 
+def test_schema_history_decodes_removed_column_as_drop(spark, tmp_path):
+    """A name present in the previous state but missing from the new one
+    becomes OP_DROP_COLUMN; a rename therefore surfaces as the DROP(old) +
+    ADD(new) pair (values don't carry — the retirement contract; the
+    native changelog's OP_RENAME_COLUMN is the value-preserving path)."""
+    from milvus_cdc_spark.sources.debezium import read_debezium_history
+
+    def msg(lsn, typ, cols):
+        return json.dumps({
+            "source": {"lsn": lsn}, "ts_ms": 1700000000000,
+            "ddl": "--", "tableChanges": [{
+                "type": typ, "id": '"db"."t1"',
+                "table": {"columns": [
+                    {"name": n, "typeName": t, "position": i + 1}
+                    for i, (n, t) in enumerate(cols)
+                ]},
+            }],
+        })
+
+    msgs = [
+        msg(10, "CREATE", [("conv_id", "VARCHAR(64)"), ("tool", "TEXT")]),
+        # plain column drop
+        msg(20, "ALTER", [("conv_id", "VARCHAR(64)")]),
+        # upstream rename conv_id->cid: DROP(conv_id) + ADD(cid)
+        msg(30, "ALTER", [("cid", "VARCHAR(64)")]),
+    ]
+    d = tmp_path / "hist"
+    os.makedirs(d)
+    (d / "a.json").write_text("\n".join(msgs))
+    rows = sorted(
+        read_debezium_history(spark, str(d)).collect(), key=lambda r: r.lsn
+    )
+    assert [(r.lsn, r.op, r.ddl_arg) for r in rows] == [
+        (20, "DROP_COLUMN", '{"column":"tool"}'),
+        (30, "ADD_COLUMN", '{"column":"cid","type":"string"}'),
+        (31, "DROP_COLUMN", '{"column":"conv_id"}'),
+    ]
+
+
 def test_schema_history_multi_table_routing(spark, tmp_path):
     """multi_table=True surfaces the bare table name from the quoted id;
     diffs are per-table (same column set in two tables doesn't alias)."""
