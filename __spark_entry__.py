@@ -2565,6 +2565,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_media(synthesize_decodable_media(spark, 48))
     q["mm_decode"] = mm_decode
 
+    def mm_resize(spark, sf):  # REAL nearest-neighbor resize over actual
+        # P6 pixel bytes (numpy fancy-indexing inside Arrow batches); the
+        # arithmetic-content synthesizer makes the resized pixel SUM a
+        # closed form of media_id, so the oracle value-checks the full
+        # parse→reshape→index→sum path. payload (the valid P6 thumb) is
+        # produced but projected out here — canon() would hash it, and
+        # the SQL side can't rebuild bytes.
+        from milvus_cdc_spark.operators.multimodal import (
+            resize_images,
+            synthesize_arith_media,
+        )
+
+        return resize_images(
+            synthesize_arith_media(spark, 48), out_w=5, out_h=4
+        ).select("media_id", "src_w", "src_h", "out_w", "out_h", "pixel_sum")
+    q["mm_resize"] = mm_resize
+
+    def mm_frame_sample(spark, sf):  # REAL PCM frame sampling over actual
+        # WAV bytes: every-7th-frame extraction, |amplitude| energy +
+        # peak — each a closed form of (media_id, frame index) under the
+        # arithmetic synthesizer, fully mirrored in SQL
+        from milvus_cdc_spark.operators.multimodal import (
+            sample_pcm_frames,
+            synthesize_arith_media,
+        )
+
+        return sample_pcm_frames(synthesize_arith_media(spark, 48), every_n=7)
+    q["mm_frame_sample"] = mm_frame_sample
+
     # ===== analytics probes (Catalyst breadth: agg + multi-join) =====
     def tpch_pricing_summary(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -3072,6 +3101,33 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN i % 2 = 1 THEN CAST(6 + i % 12 AS INT) END AS height,
               CASE WHEN i % 2 = 1 THEN CAST(255 AS INT) END AS maxval
             FROM m""",
+        "mm_resize": """
+            WITH m AS (SELECT unnest(range(0, 48)) AS i),
+            img AS (SELECT i, 8 + i % 16 AS w, 6 + i % 12 AS h
+                    FROM m WHERE i % 2 = 1),
+            yy AS (SELECT unnest(range(0, 4)) AS y),
+            xx AS (SELECT unnest(range(0, 5)) AS x),
+            cc AS (SELECT unnest(range(0, 3)) AS c)
+            SELECT i AS media_id,
+                   CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+                   CAST(5 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+                   CAST(SUM((i * 7 +
+                        (((y * h) // 4 * w + (x * w) // 5) * 3 + c) * 13
+                        ) % 256) AS BIGINT) AS pixel_sum
+            FROM img, yy, xx, cc
+            GROUP BY i, w, h""",
+        "mm_frame_sample": """
+            WITH m AS (SELECT unnest(range(0, 48)) AS i),
+            aud AS (SELECT i, 100 + i AS nf FROM m WHERE i % 2 = 0),
+            s AS (SELECT i, unnest(range(0, nf)) AS j FROM aud),
+            samp AS (SELECT i,
+                            ABS(((i * 31 + j * 17) % 65536) - 32768) AS a
+                     FROM s WHERE j % 7 = 0)
+            SELECT i AS media_id,
+                   CAST(COUNT(*) AS INT) AS n_sampled,
+                   CAST(SUM(a) AS BIGINT) AS energy,
+                   CAST(MAX(a) AS INT) AS peak
+            FROM samp GROUP BY i""",
         "mm_media_features": """
             WITH m AS (SELECT unnest(range(0, 48)) AS i),
             base AS (SELECT i AS media_id,

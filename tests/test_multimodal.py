@@ -86,3 +86,98 @@ def test_decode_media_distributed(spark):
     r1 = rows[1]  # image
     assert (r1["width"], r1["height"], r1["maxval"]) == (9, 7, 255)
     assert r1["sample_rate"] is None
+
+
+# ---- real resize / PCM frame-sample (round 4: bytes in, numbers out) ----
+
+def test_resize_images_real_bytes(spark):
+    """NN resize over actual P6 bytes: the thumb re-parses as a valid P6
+    of the target dims, and every thumb pixel equals the NN-mapped source
+    pixel computed independently here."""
+    import numpy as np
+
+    from milvus_cdc_spark.operators.multimodal import (
+        _ppm_parse, resize_images, synthesize_arith_media,
+    )
+
+    media = synthesize_arith_media(spark, 16).repartition(4)
+    out = {r["media_id"]: r for r in resize_images(media, 5, 4).collect()}
+    src = {r["media_id"]: bytes(r["payload"])
+           for r in media.filter("kind = 'image'").collect()}
+    assert set(out) == set(src) and len(out) == 8
+    for mid, r in out.items():
+        w, h, _, off = _ppm_parse(src[mid])
+        assert (r["src_w"], r["src_h"], r["out_w"], r["out_h"]) == (w, h, 5, 4)
+        tw, th, _, toff = _ppm_parse(bytes(r["payload"]))
+        assert (tw, th) == (5, 4)
+        arr = np.frombuffer(src[mid], np.uint8, w * h * 3, off).reshape(h, w, 3)
+        want = arr[(np.arange(4) * h) // 4][:, (np.arange(5) * w) // 5]
+        got = np.frombuffer(bytes(r["payload"]), np.uint8, 60, toff).reshape(4, 5, 3)
+        assert (got == want).all()
+        assert r["pixel_sum"] == int(want.sum(dtype=np.int64))
+
+
+def test_resize_identity_and_upscale():
+    """Resizing to the source dims is the identity; upscale repeats
+    source pixels (NN semantics) — checked without Spark via the same
+    numpy core the Arrow batches run."""
+    import numpy as np
+
+    from milvus_cdc_spark.operators.multimodal import _ppm_parse, synthesize_ppm
+
+    b = synthesize_ppm(6, 4, seed=b"x")
+    w, h, _, off = _ppm_parse(b)
+    arr = np.frombuffer(b, np.uint8, w * h * 3, off).reshape(h, w, 3)
+    same = arr[(np.arange(4) * 4) // 4][:, (np.arange(6) * 6) // 6]
+    assert (same == arr).all()
+    up = arr[(np.arange(8) * 4) // 8][:, (np.arange(12) * 6) // 12]
+    assert up.shape == (8, 12, 3)
+    assert (up[::2, ::2] == arr).all()  # every source pixel survives
+
+
+def test_sample_pcm_frames_real_bytes(spark):
+    """Every-kth-frame PCM extraction over actual WAV bytes matches an
+    independent numpy fold; stereo frames keep both channels."""
+    import numpy as np
+
+    from milvus_cdc_spark.operators.multimodal import (
+        sample_pcm_frames, synthesize_arith_media, synthesize_wav,
+    )
+
+    media = synthesize_arith_media(spark, 16).repartition(4)
+    out = {r["media_id"]: r for r in sample_pcm_frames(media, every_n=7).collect()}
+    assert len(out) == 8
+    for i in range(0, 16, 2):
+        nf = 100 + i
+        s = ((i * 31 + np.arange(nf, dtype=np.int64) * 17) % 65536) - 32768
+        picked = np.abs(s[::7])
+        r = out[i]
+        assert r["n_sampled"] == len(picked)
+        assert r["energy"] == int(picked.sum())
+        assert r["peak"] == int(picked.max())
+    # stereo: energy sums BOTH channels of each sampled frame
+    sam = np.arange(20, dtype=np.int64).reshape(10, 2)  # 10 frames, 2 ch
+    wav = synthesize_wav(10, 8000, channels=2,
+                         data=sam.astype("<i2").tobytes())
+    df = spark.createDataFrame(
+        [(99, "audio", bytearray(wav))], "media_id long, kind string, payload binary"
+    )
+    r = sample_pcm_frames(df, every_n=4).collect()[0]
+    want = np.abs(sam[::4])
+    assert (r["n_sampled"], r["energy"], r["peak"]) == (
+        3, int(want.sum()), int(want.max())
+    )
+
+
+def test_resize_and_sample_validate_args(spark):
+    import pytest
+
+    from milvus_cdc_spark.operators.multimodal import (
+        resize_images, sample_pcm_frames, synthesize_arith_media,
+    )
+
+    media = synthesize_arith_media(spark, 4)
+    with pytest.raises(ValueError, match="positive"):
+        resize_images(media, 0, 4)
+    with pytest.raises(ValueError, match="positive"):
+        sample_pcm_frames(media, every_n=0)
