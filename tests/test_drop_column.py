@@ -233,6 +233,36 @@ def test_drop_matches_oracle_on_generated_log(spark, table):
     assert got == want
 
 
+def test_changes_and_time_travel_across_drop(spark, table):
+    """changes() across a drop aligns on the NEW schema (dropped column
+    absent, incl. on delete pre-images); time travel to a pre-drop
+    version still projects the column with its stored values (the
+    Iceberg-snapshot property: old manifests are immutable)."""
+    apply_batch(
+        spark, table,
+        _mk(spark, [_row(1, "INSERT", "c1", 1, "a", tool="T1", sec=1),
+                    _row(2, "INSERT", "c2", 2, "b", tool="T2", sec=2)]),
+        0,
+    )
+    v0 = table._current_version()
+    apply_batch(
+        spark, table,
+        _mk(spark, [_row(10, "DROP_COLUMN", ddl='{"column":"tool"}', sec=3),
+                    _row(11, "DELETE", "c1", 1, sec=4),
+                    _row(12, "INSERT", "c3", 3, "c", sec=5)]),
+        1,
+    )
+    diff = table.changes(spark, v0)
+    assert "tool" not in diff.columns
+    got = {(r["change_type"], r["conv_id"]) for r in diff.collect()}
+    assert got == {("delete", "c1"), ("insert", "c3")}
+    # pre-drop snapshot still carries the column and its values
+    old = table.read(spark, manifest=table.at_version(v0))
+    assert sorted((r["conv_id"], r["tool"]) for r in old.collect()) == [
+        ("c1", "T1"), ("c2", "T2")
+    ]
+
+
 def test_drop_survives_compaction_and_mor(spark, tmp_path):
     """Retirement is carried by every maintenance rewrite; the MOR write
     path applies drops identically."""
