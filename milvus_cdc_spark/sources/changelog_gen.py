@@ -47,6 +47,7 @@ def generate_changelog(
     drops: bool = True,
     truncates: bool = False,
     widens: bool = False,
+    col_drops: bool = False,
     patch_pct: int = 0,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -81,13 +82,20 @@ def generate_changelog(
     # WIDEN_COLUMN (Iceberg type promotion, int→bigint on turn_idx) after
     # the ADD so plenty of narrow-typed files exist to upcast at read
     widen_lsn = (n * 65) // 100 if widens and n >= 20 else -1
+    # DROP_COLUMN (name retirement) late in the log so plenty of events on
+    # BOTH sides exist: with evolve it retires the added column (events
+    # after it still carry the bag key — discarded), otherwise the base
+    # `tool` column (post-drop tool values likewise discarded)
+    col_drop_lsn = (n * 85) // 100 if col_drops and n >= 20 else -1
+    col_drop_target = "tool_args" if evolve and n >= 20 else "tool"
 
     is_add = c == F.lit(add_lsn) if add_lsn >= 0 else F.lit(False)
     is_rename = c == F.lit(rename_lsn) if rename_lsn >= 0 else F.lit(False)
     is_drop = c.isin(drop_lsns) if drop_lsns else F.lit(False)
     is_truncate = c == F.lit(truncate_lsn) if truncate_lsn >= 0 else F.lit(False)
     is_widen = c == F.lit(widen_lsn) if widen_lsn >= 0 else F.lit(False)
-    is_ddl = is_add | is_rename | is_drop | is_truncate | is_widen
+    is_col_drop = c == F.lit(col_drop_lsn) if col_drop_lsn >= 0 else F.lit(False)
+    is_ddl = is_add | is_rename | is_drop | is_truncate | is_widen | is_col_drop
 
     hv = hmod(1, 100)
 
@@ -106,7 +114,8 @@ def generate_changelog(
 
         prev_ddl_ids = [
             x
-            for x in [add_lsn, rename_lsn, truncate_lsn, widen_lsn] + drop_lsns
+            for x in [add_lsn, rename_lsn, truncate_lsn, widen_lsn,
+                      col_drop_lsn] + drop_lsns
             if x >= 0
         ]
         prev_is_ddl = cp.isin(prev_ddl_ids) if prev_ddl_ids else F.lit(False)
@@ -125,6 +134,7 @@ def generate_changelog(
         .when(is_drop, F.lit(S.OP_DROP_PARTITION))
         .when(is_truncate, F.lit(S.OP_TRUNCATE))
         .when(is_widen, F.lit(S.OP_WIDEN_COLUMN))
+        .when(is_col_drop, F.lit(S.OP_DROP_COLUMN))
         .when(is_patch, F.lit(S.OP_PATCH))
         .when(hv < delete_pct, F.lit(S.OP_DELETE))
         .when(hv < delete_pct + upsert_pct, F.lit(S.OP_UPSERT))
@@ -194,6 +204,7 @@ def generate_changelog(
         .when(is_drop, F.concat(F.lit('{"part":'), part, F.lit("}")))
         .when(is_truncate, F.lit("{}"))
         .when(is_widen, F.lit('{"column":"turn_idx","type":"bigint"}'))
+        .when(is_col_drop, F.lit('{"column":"%s"}' % col_drop_target))
     )
 
     extra = F.when(

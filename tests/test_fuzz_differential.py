@@ -47,6 +47,7 @@ def _run_case(spark, tmp_path, seed: int) -> None:
         drops=rng.random() < 0.7,
         truncates=rng.random() < 0.5,
         widens=rng.random() < 0.5,
+        col_drops=rng.random() < 0.5,
         num_partitions=4,
     )
     log = generate_changelog(spark, n, **knobs).cache()
@@ -211,6 +212,7 @@ def test_fuzz_rollback_replay_converges(spark, tmp_path, seed):
         evolve=True,
         truncates=rng.random() < 0.5,
         widens=rng.random() < 0.5,
+        col_drops=rng.random() < 0.5,
         num_partitions=4,
     )
     log = generate_changelog(spark, n, **knobs).cache()
