@@ -881,6 +881,50 @@ FROM ranked WHERE rn = 1 AND op <> 'DELETE'
 """
 
 
+def _q_cdc_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for the Debezium EGRESS path (streaming/publish.py —
+    the inverse of the cdc_debezium ingest probe; reference users put
+    Kafka connectors in front of the target collection for exactly this,
+    server/cdc_impl.go:213-320 topology): the derived changelog drains
+    into a source table in two epochs with a publish_round after each
+    (round 1 = full-snapshot bootstrap as insert envelopes, round 2 =
+    net changes() diff — incl. tombstones at pre-image ts + 1µs), a
+    third publish at the unadvanced head must be a no-op, then a SECOND
+    engine instance consumes the published JSON-lines feed round-by-round
+    (one epoch per round, the consumer contract — a tombstone reuses its
+    pre-image's lsn, colliding inside one batch but ordering correctly
+    across epochs). The consumer's final state must hash-equal the
+    flagship oracle — publish→consume is lossless end to end."""
+    import shutil
+
+    from milvus_cdc_spark.sources.debezium import read_debezium
+    from milvus_cdc_spark.streaming.publish import publish_round
+
+    log = _derive_changelog(spark, sf_dir)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    root = _probe_table_root(sf_dir, "publish")
+    feed = os.path.join(root, "feed")
+    shutil.rmtree(feed, ignore_errors=True)
+    src = SnapshotTable(os.path.join(root, "src"))
+    src.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    apply_batch(spark, src, log.filter(F.col("lsn") <= mid), epoch=0)
+    r1 = publish_round(spark, src, feed)
+    apply_batch(spark, src, log.filter(F.col("lsn") > mid), epoch=1)
+    r2 = publish_round(spark, src, feed)
+    assert publish_round(spark, src, feed)["published"] == 0  # no-op at head
+    dst = SnapshotTable(os.path.join(root, "dst"))
+    dst.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    for ep, r in enumerate((r1, r2)):
+        batch = read_debezium(
+            spark, os.path.join(feed, f"round-{r['to_version']:012d}-*.jsonl")
+        )
+        apply_batch(spark, dst, batch, epoch=ep)
+    return dst.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "ts", "part", "lsn"
+    )
+
+
 def _q_cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for the merge-on-read write mode (Iceberg v2 MOR
     analogue, operators/apply.py::_append_delta +
@@ -2109,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_debezium_ddl"] = _q_cdc_debezium_ddl
     q["cdc_schema_widen"] = _q_cdc_schema_widen
     q["cdc_schema_drop"] = _q_cdc_schema_drop
+    q["cdc_publish"] = _q_cdc_publish
     q["cdc_bootstrap"] = _q_cdc_bootstrap
     q["cdc_table_changes"] = _q_cdc_table_changes
     q["doc_dedup_incremental"] = _q_doc_dedup_incremental
@@ -2654,6 +2699,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_debezium_ddl": _ORACLE_DEBEZIUM_DDL,
         "cdc_schema_widen": _ORACLE_SCHEMA_WIDEN,
         "cdc_schema_drop": _ORACLE_SCHEMA_DROP,
+        # publish -> consume must reproduce the flagship final state
+        "cdc_publish": _ORACLE_FINAL_STATE,
         # bootstrap(old-state) + tail(newer half) must equal the FULL
         # replay — the handover proof, so the flagship oracle is reused
         "cdc_bootstrap": _ORACLE_FINAL_STATE,

@@ -48,8 +48,13 @@ _IMAGE_FIELDS = [
     ("tool", T.StringType()),
 ]
 
+# the image also carries the dynamic-field bag (`extra`), so evolved
+# columns survive an envelope round trip — real Debezium images carry
+# every table column; our fixed base image + bag is the same information
+# split the native changelog uses. Absent in a feed → null (from_json).
 _IMAGE_SCHEMA = T.StructType(
     [T.StructField(n, t, True) for n, t in _IMAGE_FIELDS]
+    + [T.StructField("extra", T.MapType(T.StringType(), T.StringType()), True)]
 )
 
 # the (subset of the) Debezium payload block we consume. Unknown extra
@@ -108,7 +113,7 @@ def _normalize(
         image["text"].alias("text"),
         image["tool"].alias("tool"),
         F.lit(None).cast("string").alias("ddl_arg"),
-        F.lit(None).cast("map<string,string>").alias("extra"),
+        image["extra"].alias("extra"),
     ]
     if multi_table:
         cols.append(p["source"]["table"].alias("table_name"))
@@ -141,7 +146,9 @@ def read_debezium_stream(
 
 
 def _image() -> Column:
-    return F.struct(*[F.col(n) for n, _t in _IMAGE_FIELDS])
+    return F.struct(
+        *[F.col(n) for n, _t in _IMAGE_FIELDS], F.col("extra").alias("extra")
+    )
 
 
 def to_debezium(changelog: DataFrame) -> DataFrame:

@@ -5,7 +5,10 @@ read: one conversation fetched by routing its key driver-side to its one
 storage bucket (functions/keyhash). Maintenance verbs (compact / vacuum /
 convert / rebucket) cover every table of a task — single-table and
 multi-collection trees alike; ``cascade`` replicates one SnapshotTable into another through its
-changes() diff (second-level tail, self-positioning).
+changes() diff (second-level tail, self-positioning); ``publish`` is the
+egress twin — one round emits the table's advance since the cursor as
+Debezium JSON-lines envelopes any downstream CDC consumer can tail
+(streaming/publish.py).
 
 The analogue of the reference's HTTP task API — all eight task verbs
 (create/delete/pause/resume/get/getPosition/list/maintenance,
@@ -218,7 +221,7 @@ def main(argv: list[str] | None = None) -> int:
             "create", "drain", "status", "tail", "pause", "resume",
             "delete", "list", "position", "compact", "vacuum", "bootstrap",
             "convert", "cascade", "pipeline", "rollup", "rollback", "dlq",
-            "lookup", "rebucket", "stats",
+            "lookup", "rebucket", "stats", "publish",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -463,6 +466,21 @@ def main(argv: list[str] | None = None) -> int:
             window=a.window, stride=a.stride, out_dir=a.out,
         )
         print(json.dumps(res))
+        return 0
+
+    if a.command == "publish":
+        # one egress round (streaming/publish.py): the table's advance
+        # since the cursor published as Debezium JSON-lines envelopes —
+        # the feed any Debezium consumer (incl. this engine's --source
+        # debezium tasks) can tail. Cost ∝ changed buckets; re-runs at
+        # an unadvanced head are no-ops.
+        if not (a.table and a.out):
+            p.error("'publish' needs --table and --out")
+        from milvus_cdc_spark.plans.manifest import SnapshotTable
+        from milvus_cdc_spark.streaming.publish import publish_round
+
+        spark = get_spark("milvus_cdc_spark_cli", master=a.master)
+        print(json.dumps(publish_round(spark, SnapshotTable(a.table), a.out)))
         return 0
 
     if a.command == "rollup":

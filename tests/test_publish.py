@@ -1,0 +1,160 @@
+"""Debezium-envelope egress (streaming/publish.py): publish a table's
+advance as a CDC feed and prove a consumer converges.
+
+Reference analogue: users front the target collection with Kafka
+connectors to feed downstream systems (the server/cdc_impl.go:213-320
+topology's missing egress half); Debezium JSON lines is the public-
+standard envelope this engine already consumes, so publish→consume
+composes two tested halves into a full replication loop.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark import schemas as S
+from milvus_cdc_spark.operators.apply import apply_batch
+from milvus_cdc_spark.oracle import replay
+from milvus_cdc_spark.plans.manifest import SnapshotTable
+from milvus_cdc_spark.sources import generate_changelog
+from milvus_cdc_spark.sources.debezium import read_debezium
+from milvus_cdc_spark.streaming.publish import publish_round
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "src"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    return t
+
+
+def _consume(spark, tmp_path, feed, rounds, n_buckets=4, name="dst"):
+    dst = SnapshotTable(str(tmp_path / name))
+    dst.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=n_buckets)
+    for ep, r in enumerate(rounds):
+        batch = read_debezium(
+            spark, os.path.join(feed, f"round-{r['to_version']:012d}-*.jsonl")
+        )
+        apply_batch(spark, dst, batch, epoch=ep)
+    return dst
+
+
+def test_publish_consume_round_trip(spark, tmp_path, src):
+    """Bootstrap + incremental rounds (incl. deletes and upserts) through
+    the feed reproduce the source's exact final state."""
+    log = generate_changelog(spark, 2000, n_parts=4, n_convs=40,
+                             turns_per_conv=8, delete_pct=20, upsert_pct=40,
+                             evolve=False, drops=False)
+    feed = str(tmp_path / "feed")
+    apply_batch(spark, src, log.filter(F.col("lsn") < 1000), epoch=0)
+    r1 = publish_round(spark, src, feed)
+    assert r1["from_version"] is None and r1["published"] > 0
+    apply_batch(spark, src, log.filter(F.col("lsn") >= 1000), epoch=1)
+    r2 = publish_round(spark, src, feed)
+    assert r2["from_version"] == r1["to_version"] and r2["published"] > 0
+    dst = _consume(spark, tmp_path, feed, (r1, r2))
+    want = sorted(map(tuple, src.read(spark).collect()))
+    got = sorted(map(tuple, dst.read(spark).collect()))
+    assert got == want and len(got) > 0
+    # and the source itself matches the sequential oracle (sanity anchor)
+    want_rows, _ = replay([r.asDict() for r in log.collect()])
+    assert len(want_rows) == len(got)
+
+
+def test_publish_noop_at_unadvanced_head(spark, tmp_path, src):
+    apply_batch(
+        spark, src,
+        generate_changelog(spark, 200, evolve=False, drops=False), epoch=0,
+    )
+    feed = str(tmp_path / "feed")
+    r1 = publish_round(spark, src, feed)
+    before = sorted(os.listdir(feed))
+    r2 = publish_round(spark, src, feed)
+    assert r2["published"] == 0 and r2["files"] == []
+    assert sorted(os.listdir(feed)) == before
+    assert r2["from_version"] == r2["to_version"] == r1["to_version"]
+
+
+def test_publish_crash_before_cursor_republishes_same_round(spark, tmp_path, src):
+    """Files published but cursor lost (crash window): the re-run
+    republishes the SAME round under the SAME deterministic names — the
+    consumer's epoch gate / last-writer merge dedupes."""
+    log = generate_changelog(spark, 600, evolve=False, drops=False,
+                             delete_pct=15)
+    feed = str(tmp_path / "feed")
+    apply_batch(spark, src, log.filter(F.col("lsn") < 300), epoch=0)
+    r1 = publish_round(spark, src, feed)
+    cursor_after_r1 = open(os.path.join(feed, "_cursor.json")).read()
+    apply_batch(spark, src, log.filter(F.col("lsn") >= 300), epoch=1)
+    r2 = publish_round(spark, src, feed)
+    # the crash window: round files landed but the cursor commit didn't
+    with open(os.path.join(feed, "_cursor.json"), "w") as f:
+        f.write(cursor_after_r1)
+    r3 = publish_round(spark, src, feed)
+    assert r3["to_version"] == r2["to_version"]
+    assert r3["files"] == r2["files"]  # same deterministic names
+    dst = _consume(spark, tmp_path, feed, (r1, r3))
+    assert sorted(map(tuple, dst.read(spark).collect())) == sorted(
+        map(tuple, src.read(spark).collect())
+    )
+
+
+def test_publish_carries_evolved_columns_in_bag(spark, tmp_path, src):
+    """An evolved (ADD_COLUMN) column's values ride the envelope image's
+    extra bag; a consumer that applies the same ADD_COLUMN DDL natively
+    promotes them — values are not lost to the fixed base image."""
+    from datetime import datetime
+
+    ts0 = datetime(2024, 1, 1)
+    ddl = spark.createDataFrame(
+        [(1, ts0, 0, "ADD_COLUMN", None, None, None, None, None,
+          '{"column":"score","type":"int"}', None)],
+        S.CHANGELOG_SCHEMA,
+    )
+    dml = spark.createDataFrame(
+        [(2, ts0, 0, "INSERT", "c1", 1, "user", "a", None, None,
+          {"score": "7"}),
+         (3, ts0, 0, "INSERT", "c2", 2, "user", "b", None, None,
+          {"score": "9"})],
+        S.CHANGELOG_SCHEMA,
+    )
+    apply_batch(spark, src, ddl.unionByName(dml), epoch=0)
+    feed = str(tmp_path / "feed")
+    r1 = publish_round(spark, src, feed)
+    dst = SnapshotTable(str(tmp_path / "dst"))
+    dst.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    batch = read_debezium(
+        spark, os.path.join(feed, f"round-{r1['to_version']:012d}-*.jsonl")
+    )
+    # consumer applies the same DDL natively (Debezium data streams can't
+    # carry DDL; its history topic / the native changelog does)
+    apply_batch(spark, dst, ddl.unionByName(batch), epoch=0)
+    got = sorted((r["conv_id"], r["score"]) for r in dst.read(spark).collect())
+    assert got == [("c1", 7), ("c2", 9)]
+
+
+def test_publish_cli_round_trip(spark, tmp_path):
+    """The publish verb end to end from the CLI entry point."""
+    from milvus_cdc_spark.streaming.cli import main
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    apply_batch(
+        spark, t,
+        generate_changelog(spark, 300, evolve=False, drops=False), epoch=0,
+    )
+    feed = str(tmp_path / "feed")
+    rc = main(["publish", "--table", t.root, "--out", feed,
+               "--master", "local[4]"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(feed, "_cursor.json"))
+    names = [f for f in os.listdir(feed) if f.endswith(".jsonl")]
+    assert names
+    dec = read_debezium(spark, feed)
+    assert dec.count() == t.read(spark).count()
+    # every decoded row is a well-formed upsert image (changes_to_ops
+    # emits OP_UPSERT for non-deletes; 'u' on the wire) with its identity
+    assert dec.filter(F.col("op") != "UPSERT").count() == 0
+    assert dec.filter(F.col("lsn").isNull()).count() == 0
