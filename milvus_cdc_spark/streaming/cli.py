@@ -68,6 +68,12 @@ def _spec_from_args(a, p) -> dict:
             "src_table": a.src_table, "view_store": a.view_store,
             "checkpoint": a.checkpoint,
         }
+    if a.src_table and a.out and a.checkpoint:
+        # publish task: egress another SnapshotTable as a Debezium feed
+        return {
+            "src_table": a.src_table, "publish_out": a.out,
+            "checkpoint": a.checkpoint,
+        }
     if a.src_table and a.table and a.checkpoint:
         # cascade task: tails another SnapshotTable instead of a changelog
         return {
@@ -116,6 +122,15 @@ def _build_task(spark, spec, a):
             spark,
             spec["src_table"],
             spec["view_store"],
+            spec["checkpoint"],
+        )
+    if spec.get("publish_out"):
+        from milvus_cdc_spark.streaming.engine import PublishTask
+
+        return PublishTask(
+            spark,
+            spec["src_table"],
+            spec["publish_out"],
             spec["checkpoint"],
         )
     if spec.get("src_table"):

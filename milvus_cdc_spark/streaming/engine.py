@@ -1060,6 +1060,79 @@ class ViewTask(_TaskLifecycle):
         }
 
 
+class PublishTask(_TaskLifecycle):
+    """Managed Debezium egress: tail a SnapshotTable's versions and
+    publish each advance as envelope JSON lines
+    (streaming/publish.py::publish_round) — the always-on cousin of the
+    one-shot ``publish`` CLI verb, completing the task-family symmetry
+    (ingest → CdcTask, table→table → CascadeTask, serving view →
+    ViewTask, CDC feed out → this). Downstream consumers tail the out
+    directory; the reference's users run a Kafka connector for exactly
+    this hop.
+
+    Self-positioning: publish_round's ``_cursor.json`` IS the position
+    (committed last via temp + os.replace), so a crash-replayed round
+    republishes the same files under the same names — consumers dedupe
+    by filename or last-writer merge. availableNow semantics: publish
+    until the feed has caught the source's CURRENT version, then stop;
+    continuous mode polls the source manifest (an O(1) int read) every
+    ``poll_sec``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src_root: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        *,
+        poll_sec: float = 0.5,
+        n_files: int = 1,
+    ):
+        self.spark = spark
+        self.src = SnapshotTable(src_root)
+        self.out_dir = out_dir
+        self.poll_sec = poll_sec
+        self.n_files = n_files
+        self._init_lifecycle(checkpoint_dir)
+
+    def _position(self) -> int:
+        import json as _json
+
+        cursor = os.path.join(self.out_dir, "_cursor.json")
+        if not os.path.exists(cursor):
+            return 0
+        with open(cursor) as f:
+            return int(_json.load(f)["version"])
+
+    def start(self, available_now: bool = False):
+        from milvus_cdc_spark.streaming.publish import publish_round
+
+        def _loop(stop_event):
+            while not stop_event.is_set():
+                if self.src.current().version > self._position():
+                    publish_round(
+                        self.spark, self.src, self.out_dir,
+                        n_files=self.n_files,
+                    )
+                elif available_now:
+                    return
+                else:
+                    stop_event.wait(self.poll_sec)
+
+        self.query = _LoopQuery(_loop).start()
+        self._write_status("Running")
+        return self.query
+
+    def _status_extra(self) -> dict[str, Any]:
+        src_v = self.src.current().version
+        pos = self._position()
+        return {
+            "src_version": src_v,
+            "published_version": pos,
+            "versions_behind": max(0, src_v - pos),
+        }
+
+
 class MultiCascadeTask(_TaskLifecycle):
     """Instance-level cascade: replicate EVERY SnapshotTable under
     ``src_tables_root`` (the dst tree of a MultiCdcTask — plain and

@@ -76,9 +76,11 @@ class TaskRegistry:
             )
         if spec.get("src_table") and not (
             spec.get("table") or spec.get("view_store")
+            or spec.get("publish_out")
         ):
             raise ValueError("cascade task spec needs 'table' (or "
-                             "'view_store' for a view task)")
+                             "'view_store' for a view task, 'publish_out' "
+                             "for a publish task)")
         if spec.get("src_tables_root") and not spec.get("tables_root"):
             raise ValueError("multi-cascade task spec needs 'tables_root'")
         # single-table tasks own a 'table'; multi-collection tasks own a
@@ -89,9 +91,11 @@ class TaskRegistry:
             spec.get("table")
             or spec.get("tables_root")
             or spec.get("view_store")
+            or spec.get("publish_out")
         ):
             raise ValueError(
-                "task spec needs 'table', 'tables_root' or 'view_store'"
+                "task spec needs 'table', 'tables_root', 'view_store' "
+                "or 'publish_out'"
             )
         # capacity guard (reference MaxTaskNum, server/cdc_impl.go:257-258,
         # default 100 in server/configs/cdc.yaml)
@@ -116,7 +120,8 @@ class TaskRegistry:
             return p == root or p.startswith(root + os.sep)
 
         for other in existing:
-            for field in ("table", "tables_root", "checkpoint", "view_store"):
+            for field in ("table", "tables_root", "checkpoint", "view_store",
+                          "publish_out"):
                 a, b = other.get(field), spec.get(field)
                 if a and b and os.path.normpath(a) == os.path.normpath(b):
                     raise ValueError(
@@ -266,6 +271,22 @@ class TaskRegistry:
                 with open(cursor) as f:
                     pos = int(json.loads(f.read())["version"])
             out["view_version"] = pos
+            src_cur = os.path.join(spec["src_table"], "meta", "CURRENT")
+            if os.path.exists(src_cur):
+                with open(src_cur) as f:
+                    src_v = int(f.read().strip())
+                out["src_version"] = src_v
+                out["versions_behind"] = max(0, src_v - pos)
+        elif spec.get("publish_out"):
+            # publish-task position: publish_round's cursor is the last
+            # published source version; versions_behind is feed staleness
+            # in source snapshots. Spark-free.
+            cursor = os.path.join(spec["publish_out"], "_cursor.json")
+            pos = 0
+            if os.path.exists(cursor):
+                with open(cursor) as f:
+                    pos = int(json.loads(f.read())["version"])
+            out["published_version"] = pos
             src_cur = os.path.join(spec["src_table"], "meta", "CURRENT")
             if os.path.exists(src_cur):
                 with open(src_cur) as f:

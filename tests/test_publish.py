@@ -135,6 +135,56 @@ def test_publish_carries_evolved_columns_in_bag(spark, tmp_path, src):
     assert got == [("c1", 7), ("c2", 9)]
 
 
+def test_publish_task_drains_and_tracks_position(spark, tmp_path, src):
+    """PublishTask (streaming/engine.py): availableNow drain publishes up
+    to the source's CURRENT version; a later drain after more epochs
+    publishes the increment; status reports versions_behind; the registry
+    accepts/positions a publish spec Spark-free; the accumulated feed
+    replayed round-per-epoch reproduces the source."""
+    from milvus_cdc_spark.streaming.engine import PublishTask
+    from milvus_cdc_spark.streaming.registry import TaskRegistry
+
+    log = generate_changelog(spark, 1200, n_parts=4, n_convs=24,
+                             turns_per_conv=6, delete_pct=15,
+                             evolve=False, drops=False)
+    apply_batch(spark, src, log.filter(F.col("lsn") < 600), epoch=0)
+    feed = str(tmp_path / "feed")
+    task = PublishTask(spark, src.root, feed, str(tmp_path / "ckpt"))
+    task.start(available_now=True)
+    assert task.wait_drained(120)
+    st = task.status()
+    assert st["versions_behind"] == 0 and st["published_version"] >= 1, st
+
+    apply_batch(spark, src, log.filter(F.col("lsn") >= 600), epoch=1)
+    assert task.status()["versions_behind"] > 0
+    task.resume(available_now=True)
+    assert task.wait_drained(120)
+    st2 = task.status()
+    assert st2["versions_behind"] == 0
+    assert st2["published_version"] > st["published_version"]
+
+    # the feed replays: one epoch per published round
+    versions = sorted({
+        int(f.split("-")[1]) for f in os.listdir(feed) if f.endswith(".jsonl")
+    })
+    dst = _consume(
+        spark, tmp_path, feed, [{"to_version": v} for v in versions]
+    )
+    assert sorted(map(tuple, dst.read(spark).collect())) == sorted(
+        map(tuple, src.read(spark).collect())
+    )
+
+    # registry: publish spec round-trip + Spark-free position
+    reg = TaskRegistry(str(tmp_path / "tasks"))
+    reg.create("p1", {
+        "src_table": src.root, "publish_out": feed,
+        "checkpoint": str(tmp_path / "ckpt"),
+    })
+    pos = reg.position("p1")
+    assert pos["published_version"] == st2["published_version"]
+    assert pos["versions_behind"] == 0
+
+
 def test_publish_cli_round_trip(spark, tmp_path):
     """The publish verb end to end from the CLI entry point."""
     from milvus_cdc_spark.streaming.cli import main
