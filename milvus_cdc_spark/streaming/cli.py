@@ -308,7 +308,9 @@ def main(argv: list[str] | None = None) -> int:
                    "chunk stores and the version cursor)")
     p.add_argument("--out", default=None,
                    help="pipeline: also emit the training shards to this "
-                        "parquet dir")
+                        "parquet dir; publish: the Debezium feed directory "
+                        "(with create --src-table + --checkpoint: a managed "
+                        "publish task)")
     p.add_argument("--min-score-milli", type=int, default=0,
                    help="pipeline: quality-gate threshold")
     p.add_argument("--window", type=int, default=64,
