@@ -490,14 +490,29 @@ def main(argv: list[str] | None = None) -> int:
         # since the cursor published as Debezium JSON-lines envelopes —
         # the feed any Debezium consumer (incl. this engine's --source
         # debezium tasks) can tail. Cost ∝ changed buckets; re-runs at
-        # an unadvanced head are no-ops.
-        if not (a.table and a.out):
-            p.error("'publish' needs --table and --out")
+        # an unadvanced head are no-ops. With --tables-root the verb
+        # walks the tree (incl. ns.table dirs) and publishes every
+        # table to its own feed subdirectory — the reference's one-verb-
+        # covers-any-task model (server/cdc_api.go:26-36).
+        if not ((a.table or a.tables_root) and a.out):
+            p.error("'publish' needs (--table | --tables-root) and --out")
         from milvus_cdc_spark.plans.manifest import SnapshotTable
         from milvus_cdc_spark.streaming.publish import publish_round
+        from milvus_cdc_spark.streaming.registry import _walk_tables
 
         spark = get_spark("milvus_cdc_spark_cli", master=a.master)
-        print(json.dumps(publish_round(spark, SnapshotTable(a.table), a.out)))
+        if a.table:
+            print(json.dumps(
+                publish_round(spark, SnapshotTable(a.table), a.out)
+            ))
+        else:
+            out = {
+                name: publish_round(
+                    spark, SnapshotTable(root), os.path.join(a.out, name)
+                )
+                for name, root in sorted(_walk_tables(a.tables_root))
+            }
+            print(json.dumps(out))
         return 0
 
     if a.command == "rollup":

@@ -185,6 +185,39 @@ def test_publish_task_drains_and_tracks_position(spark, tmp_path, src):
     assert pos["versions_behind"] == 0
 
 
+def test_publish_cli_tables_root_walks_tree(spark, tmp_path):
+    """publish --tables-root emits one feed subdirectory per table of a
+    multi-collection tree (the reference's one-verb-any-task model)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from milvus_cdc_spark.streaming.cli import main
+
+    root = tmp_path / "tables"
+    for name in ("ta", "tb"):
+        t = SnapshotTable(str(root / name))
+        t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+        apply_batch(
+            spark, t,
+            generate_changelog(spark, 120, seed=hash(name) % 1000,
+                               evolve=False, drops=False),
+            epoch=0,
+        )
+    feed = str(tmp_path / "feeds")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["publish", "--tables-root", str(root), "--out", feed,
+                   "--master", "local[4]"])
+    assert rc == 0
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert set(res) == {"ta", "tb"}
+    for name in ("ta", "tb"):
+        assert res[name]["published"] > 0
+        dec = read_debezium(spark, os.path.join(feed, name))
+        want = SnapshotTable(str(root / name)).read(spark).count()
+        assert dec.count() == want
+
+
 def test_publish_cli_round_trip(spark, tmp_path):
     """The publish verb end to end from the CLI entry point."""
     from milvus_cdc_spark.streaming.cli import main
