@@ -104,8 +104,15 @@ def replay(events: list[dict[str, Any]]) -> tuple[list[dict[str, Any]], list[str
                 for k, v in (e.get("extra") or {}).items():
                     if v is not None:
                         row["_extra"] = {**row["_extra"], k: v}
+                # bookkeeping advances to the newest applied piece —
+                # including part: a patch carrying a different partition
+                # MOVES the row (engine: compose_patch_actions /
+                # merge_patched_actions advance ('ts','part','lsn')
+                # together), so a later DROP_PARTITION on the old part
+                # must not kill it
                 row["ts"] = e["ts"]
                 row["lsn"] = e["lsn"]
+                row["part"] = e["part"]
         else:  # INSERT / UPSERT — full-row replace
             state[(e["conv_id"], e["turn_idx"])] = {
                 "conv_id": e["conv_id"],

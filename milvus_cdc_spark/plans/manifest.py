@@ -267,9 +267,21 @@ class SnapshotTable:
         n_buckets: int = 16,
         overwrite: bool = False,
         write_mode: str = "cow",
+        renames: dict[str, str] | None = None,
     ) -> Manifest:
+        """``renames`` (physical → logical, optional) seeds the table's
+        rename map at birth — what a cascade target mirroring a source
+        with rename history needs: wire envelopes carry renamed-column
+        values in their PHYSICAL slots, so the replica must store them
+        under the same physical names and expose the logical ones."""
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        phys = {c[0] for c in columns}
+        for frm in renames or {}:
+            if frm not in phys:
+                raise ValueError(
+                    f"rename source {frm!r} is not a created column"
+                )
         if self.exists():
             if not overwrite:
                 # idempotent create (reference skip-if-exists,
@@ -283,7 +295,7 @@ class SnapshotTable:
             snapshot_id=self._snapshot_id(-1),
             n_buckets=n_buckets,
             columns=[list(c) for c in columns],
-            renames={},
+            renames=dict(renames or {}),
             drop_watermarks={},
             files={},
             epochs={},
@@ -303,6 +315,19 @@ class SnapshotTable:
     def at_version(self, v: int) -> Manifest:
         with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
             return Manifest.from_json(f.read())
+
+    def earliest_retained_version(self) -> int:
+        """Oldest version whose manifest vacuum has not expired — the
+        floor below which ``changes()``/``at_version`` raise. An
+        incremental consumer positioned below it must re-bootstrap."""
+        vs = [
+            int(fn[1:-5])
+            for fn in os.listdir(self.meta_dir)
+            if fn.startswith("v") and fn.endswith(".json")
+        ]
+        if not vs:
+            raise FileNotFoundError(f"{self.root}: no retained manifests")
+        return min(vs)
 
     def at_timestamp(self, ts: float) -> Manifest:
         """The snapshot CURRENT as of wall-clock ``ts`` (UTC epoch

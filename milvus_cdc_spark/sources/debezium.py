@@ -410,7 +410,10 @@ def to_debezium_history(
         return _json.dumps(
             {
                 "source": {"lsn": lsn},
-                "ts_ms": int(ts.timestamp() * 1000),
+                # no ALTERs → the CREATE message has no event to borrow a
+                # wall clock from; epoch-0 is Debezium's own convention
+                # for snapshot-phase history entries
+                "ts_ms": int(ts.timestamp() * 1000) if ts is not None else 0,
                 "ddl": f"-- {typ} {table_id}",
                 "tableChanges": [
                     {

@@ -2,6 +2,8 @@ from milvus_cdc_spark.streaming.cascade import (
     cascade_epoch,
     cascade_until_current,
     changes_to_ops,
+    create_target_like,
+    snapshot_hop,
 )
 from milvus_cdc_spark.streaming.engine import CdcTask, run_until_drained
 from milvus_cdc_spark.streaming.publish import publish_round
@@ -12,5 +14,7 @@ __all__ = [
     "cascade_epoch",
     "cascade_until_current",
     "changes_to_ops",
+    "create_target_like",
+    "snapshot_hop",
     "publish_round",
 ]

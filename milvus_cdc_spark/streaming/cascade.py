@@ -37,6 +37,18 @@ from milvus_cdc_spark.plans.manifest import SnapshotTable
 # else in the diff is an evolved payload column that rides `extra`
 _FIXED = ("conv_id", "turn_idx", "ts", "part", "lsn")
 
+# Tombstone envelopes carry the PRE-IMAGE's lsn (the delete event's own
+# offset is gone after the source's merge) — but re-emitting it verbatim
+# would collide with the pre-image's insert envelope whenever a consumer
+# batches two feed rounds into one trigger (apply_batch's duplicate-lsn
+# integrity gate counts distinct lsns and fails loudly). Offset deletes by
+# 2^62: deterministic (exactly-once re-publish lands the same value),
+# disjoint from any real log offset (a 10^10-event log tops out ~2^34),
+# unique across rounds (a pre-image can only be deleted once per insert,
+# and pre-image lsns are unique), and still inside the decimal ord
+# packing's lsn digit budget (2^62 ≈ 4.6e18 < 10^21, see apply.py:70).
+_DELETE_LSN_OFFSET = 1 << 62
+
 
 def changes_to_ops(
     changes: DataFrame,
@@ -46,8 +58,10 @@ def changes_to_ops(
     (schemas.CHANGELOG_SCHEMA) applicable by ``apply_batch``.
 
     insert|update → OP_UPSERT carrying the post-image; delete →
-    OP_DELETE carrying only the key (+ the pre-image's ts/lsn for
-    ordering). ``physical_map`` (logical → physical, from the source
+    OP_DELETE carrying only the key (+ the pre-image's ts for ordering
+    and its lsn offset by ``_DELETE_LSN_OFFSET`` so the tombstone never
+    collides with the pre-image's own insert envelope when a consumer
+    batches several feed rounds into one trigger). ``physical_map`` (logical → physical, from the source
     manifest) routes each diff column into the changelog slot the target
     stores it under — a RENAMED column's values travel in its physical
     base column exactly like first-level events do, and evolved columns
@@ -94,7 +108,11 @@ def changes_to_ops(
         is_del, F.col("ts") + F.expr("INTERVAL 1 MICROSECOND")
     ).otherwise(F.col("ts"))
     return changes.select(
-        F.col("lsn").cast("bigint").alias("lsn"),
+        F.when(
+            is_del, F.col("lsn").cast("bigint") + F.lit(_DELETE_LSN_OFFSET)
+        )
+        .otherwise(F.col("lsn").cast("bigint"))
+        .alias("lsn"),
         ts.cast("timestamp").alias("ts"),
         F.col("part").cast("int").alias("part"),
         F.when(is_del, F.lit(S.OP_DELETE))
@@ -110,6 +128,32 @@ def changes_to_ops(
         ],
         F.lit(None).cast("string").alias("ddl_arg"),
         extra.alias("extra"),
+    )
+
+
+def create_target_like(
+    src: SnapshotTable,
+    dst: SnapshotTable,
+    *,
+    n_buckets: int | None = None,
+    write_mode: str = "cow",
+):
+    """Create a fresh cascade/replication target mirroring the SOURCE's
+    PHYSICAL layout + rename map — not the flattened logical names.
+
+    Why physical: ``changes_to_ops`` routes a renamed column's values
+    into its physical base slot on the wire (exactly like first-level
+    events), so a target whose physical column is the post-rename logical
+    name would silently DROP those values — apply_batch only reads base
+    payload slots that exist physically. Mirroring (columns, renames)
+    makes the replica accept the same wire format the source's own tail
+    does, while logical reads expose the renamed names identically."""
+    sm = src.current()
+    return dst.create(
+        [(n, t) for n, t in sm.columns],
+        n_buckets=n_buckets or sm.n_buckets,
+        write_mode=write_mode,
+        renames=dict(sm.renames),
     )
 
 
@@ -201,6 +245,33 @@ def cascade_epoch(
     return res
 
 
+def snapshot_hop(
+    spark: SparkSession,
+    src: SnapshotTable,
+    dst: SnapshotTable,
+    *,
+    salt_partitions: int | None = None,
+) -> dict[str, Any]:
+    """Full-snapshot bootstrap hop: apply ``src`` CURRENT as insert
+    envelopes in ONE epoch committed at the current source version — the
+    hop a fresh target takes when the incremental diff base has been
+    expired by vacuum (Debezium's snapshot-read phase, replica-side).
+    Each row rides at its stored (ts, lsn), so a subsequent incremental
+    hop arbitrates snapshot-vs-diff overlap through the ordinary
+    last-writer merge; re-runs land on the epoch gate and no-op."""
+    m = src.current()
+    phys = {m.logical_name(n): n for n, _t in m.columns}
+    full = src.read(spark).withColumn("change_type", F.lit("insert"))
+    res = apply_batch(
+        spark, dst, changes_to_ops(full, phys), m.version,
+        salt_partitions=salt_partitions,
+    )
+    res["from_version"] = None
+    res["to_version"] = m.version
+    res["snapshot_bootstrap"] = True
+    return res
+
+
 def cascade_until_current(
     spark: SparkSession,
     src: SnapshotTable,
@@ -214,10 +285,41 @@ def cascade_until_current(
 
     ``hop_versions`` bounds the version span per hop (None = one hop for
     the whole span). Smaller hops trade more MERGE rounds for smaller
-    diffs — the knob a resumable backfill uses."""
+    diffs — the knob a resumable backfill uses.
+
+    If ``from_version``'s manifest has been EXPIRED by the source's
+    vacuum, an incremental hop is impossible: a fresh target (no applied
+    epochs) takes a ``snapshot_hop`` bootstrap instead; a target that
+    already holds state fails loudly — diffing from a retained-but-later
+    version would silently lose every row untouched since the expired
+    base."""
     results: list[dict[str, Any]] = []
     cur = src.current().version
     v = from_version
+    earliest = src.earliest_retained_version() if v < cur else 0
+    if v < cur and v < earliest:
+        dst_eps = [int(e) for e in dst.current().epochs if int(e) >= 0]
+        pos = max(dst_eps) if dst_eps else None
+        if pos is not None and pos >= earliest:
+            # caller passed a stale base (e.g. a crash-retry with an
+            # explicit --from-version) but the target itself is already
+            # past the retention floor: continue from its real position
+            v = pos
+        elif pos is not None:
+            raise ValueError(
+                f"{src.root}: cascade base v{v} expired by vacuum "
+                f"(earliest retained is v{earliest}) and the target "
+                f"already holds epochs up to {pos} — an incremental hop "
+                "from an expired base silently loses rows. Rebuild the "
+                "target (drop it and re-run for a fresh snapshot "
+                "bootstrap), or vacuum the source with more "
+                "keep_versions."
+            )
+        else:
+            results.append(
+                snapshot_hop(spark, src, dst, salt_partitions=salt_partitions)
+            )
+            return results
     while v < cur:
         nxt = min(cur, v + hop_versions) if hop_versions else cur
         results.append(

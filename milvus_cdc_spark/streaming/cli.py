@@ -58,10 +58,30 @@ def _csv(v: str | None) -> list[str] | None:
     return [s for s in (x.strip() for x in v.split(",")) if s]
 
 
+def _reject_ambiguous_src_table_mode(a, p) -> None:
+    """--src-table's task kind is picked by exactly ONE companion flag;
+    a second one would silently win by branch order (e.g. --out beating
+    --table used to publish instead of cascade) — fail loudly instead."""
+    modes = [
+        f for f, v in (("--view-store", getattr(a, "view_store", None)),
+                       ("--out", getattr(a, "out", None)),
+                       ("--table", getattr(a, "table", None)))
+        if v
+    ]
+    if len(modes) > 1:
+        p.error(
+            "--src-table takes exactly one of --view-store (view task), "
+            f"--out (publish task) or --table (cascade task); got "
+            f"{', '.join(modes)}"
+        )
+
+
 def _spec_from_args(a, p) -> dict:
     """Task spec from --name/--tasks-dir (registry) or explicit flags."""
     if a.name and a.tasks_dir:
         return TaskRegistry(a.tasks_dir).get(a.name)
+    if a.src_table:
+        _reject_ambiguous_src_table_mode(a, p)
     if a.src_table and a.view_store and a.checkpoint:
         # view task: maintains a serving view of another SnapshotTable
         return {
@@ -544,12 +564,9 @@ def main(argv: list[str] | None = None) -> int:
         src = SnapshotTable(a.src_table)
         dst = SnapshotTable(a.table)
         if not dst.exists():
-            sm = src.current()
-            dst.create(
-                [(sm.logical_name(n), t) for n, t in sm.columns],
-                n_buckets=sm.n_buckets,
-                write_mode=a.write_mode,
-            )
+            from milvus_cdc_spark.streaming.cascade import create_target_like
+
+            create_target_like(src, dst, write_mode=a.write_mode)
         from_v = a.from_version
         if from_v is None:
             eps = [int(e) for e in dst.current().epochs if int(e) >= 0]
@@ -598,16 +615,38 @@ def main(argv: list[str] | None = None) -> int:
 
     if a.command == "create" and a.name and a.tasks_dir:
         if a.src_table:
-            if not (a.table and a.checkpoint):
-                p.error("cascade 'create' needs --src-table, --table and "
-                        "--checkpoint")
-            spec_fields = {
-                "src_table": a.src_table, "table": a.table,
-                "checkpoint": a.checkpoint,
-                "hop_versions": a.hop_versions, "salt_partitions": a.salt,
-                "write_mode": a.write_mode,
-                "auto_compact_files": a.auto_compact_files,
-            }
+            _reject_ambiguous_src_table_mode(a, p)
+            if a.view_store:
+                # view task: registered by name like any other task
+                if not a.checkpoint:
+                    p.error("view 'create' needs --src-table, --view-store "
+                            "and --checkpoint")
+                spec_fields = {
+                    "src_table": a.src_table, "view_store": a.view_store,
+                    "checkpoint": a.checkpoint,
+                }
+            elif a.out:
+                # publish task: registered by name like any other task
+                if not a.checkpoint:
+                    p.error("publish 'create' needs --src-table, --out and "
+                            "--checkpoint")
+                spec_fields = {
+                    "src_table": a.src_table, "publish_out": a.out,
+                    "checkpoint": a.checkpoint,
+                }
+            else:
+                if not (a.table and a.checkpoint):
+                    p.error("cascade 'create' needs --src-table, --table "
+                            "and --checkpoint (or --view-store / --out for "
+                            "a view / publish task)")
+                spec_fields = {
+                    "src_table": a.src_table, "table": a.table,
+                    "checkpoint": a.checkpoint,
+                    "hop_versions": a.hop_versions,
+                    "salt_partitions": a.salt,
+                    "write_mode": a.write_mode,
+                    "auto_compact_files": a.auto_compact_files,
+                }
         elif a.src_tables_root:
             if not (a.tables_root and a.checkpoint):
                 p.error("multi-cascade 'create' needs --src-tables-root, "

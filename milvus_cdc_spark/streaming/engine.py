@@ -105,6 +105,10 @@ class _TaskLifecycle:
         self.checkpoint_dir = checkpoint_dir
         self._status_path = os.path.join(checkpoint_dir, "task_status.json")
         self._fold_pool = None
+        # MultiCdcTask calls _maybe_compact concurrently from per-table
+        # worker threads; the lazy pool init must not race (two pools,
+        # one leaked with a live non-daemon worker)
+        self._fold_pool_lock = threading.Lock()
         self._fold_futures: dict[str, Any] = {}
         self._fold_errors: dict[str, str] = {}
 
@@ -144,12 +148,13 @@ class _TaskLifecycle:
         ]
         if not hot:
             return
-        if self._fold_pool is None:
-            from concurrent.futures import ThreadPoolExecutor
+        with self._fold_pool_lock:
+            if self._fold_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
 
-            self._fold_pool = ThreadPoolExecutor(
-                max_workers=2, thread_name_prefix="bucket-fold"
-            )
+                self._fold_pool = ThreadPoolExecutor(
+                    max_workers=2, thread_name_prefix="bucket-fold"
+                )
         self._fold_futures[table.root] = self._fold_pool.submit(
             table.compact_buckets, self.spark, hot
         )
@@ -934,11 +939,11 @@ class CascadeTask(_TaskLifecycle):
         self.src = SnapshotTable(src_root)
         self.table = SnapshotTable(table_root)
         if not self.table.exists():
-            sm = self.src.current()
-            self.table.create(
-                [(sm.logical_name(n), t) for n, t in sm.columns],
-                n_buckets=n_buckets or sm.n_buckets,
-                write_mode=write_mode,
+            from milvus_cdc_spark.streaming.cascade import create_target_like
+
+            create_target_like(
+                self.src, self.table,
+                n_buckets=n_buckets, write_mode=write_mode,
             )
         self.hop_versions = hop_versions
         self.salt_partitions = salt_partitions
@@ -1202,13 +1207,10 @@ class MultiCascadeTask(_TaskLifecycle):
         from milvus_cdc_spark.streaming.cascade import cascade_until_current
 
         if not dst.exists():
-            sm = src.current()
+            from milvus_cdc_spark.streaming.cascade import create_target_like
+
             os.makedirs(os.path.dirname(dst.root), exist_ok=True)
-            dst.create(
-                [(sm.logical_name(n), t) for n, t in sm.columns],
-                n_buckets=sm.n_buckets,
-                write_mode=self.write_mode,
-            )
+            create_target_like(src, dst, write_mode=self.write_mode)
         cascade_until_current(
             self.spark,
             src,

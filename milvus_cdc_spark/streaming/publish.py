@@ -94,6 +94,20 @@ def publish_round(
         # snapshot-read phase) through the same ops encoder
         diff = table.read(spark).withColumn("change_type", F.lit("insert"))
     else:
+        earliest = table.earliest_retained_version()
+        if prev < earliest:
+            # Re-bootstrapping here would be WRONG, not just wasteful:
+            # rows deleted between the expired cursor and now have no
+            # pre-image left to diff, so a fresh snapshot carries no
+            # tombstones for them and every consumer keeps ghost rows.
+            raise ValueError(
+                f"{table.root}: publish cursor v{prev} expired by vacuum "
+                f"(earliest retained is v{earliest}) — the feed cannot "
+                "be advanced without losing delete events. Point "
+                "consumers at a NEW feed directory (full re-bootstrap), "
+                "or vacuum the table with more keep_versions than the "
+                "publish cadence needs."
+            )
         diff = table.changes(spark, prev, cur.version)
     env = to_debezium(changes_to_ops(diff, phys)).persist()
     try:

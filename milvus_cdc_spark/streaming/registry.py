@@ -83,6 +83,16 @@ class TaskRegistry:
                              "for a publish task)")
         if spec.get("src_tables_root") and not spec.get("tables_root"):
             raise ValueError("multi-cascade task spec needs 'tables_root'")
+        # view/publish tasks read FROM a SnapshotTable — 'log' cannot
+        # drive them (position() and the task builders both dereference
+        # src_table), so reject the combination at create time
+        if (spec.get("view_store") or spec.get("publish_out")) and not spec.get(
+            "src_table"
+        ):
+            raise ValueError(
+                "view/publish task spec needs 'src_table' (they tail a "
+                "SnapshotTable, not a changelog)"
+            )
         # single-table tasks own a 'table'; multi-collection tasks own a
         # 'tables_root' (+ optional 'collections'/'excludes' lists — the
         # reference manages N-collection tasks through the same verbs,

@@ -249,3 +249,95 @@ def test_cascade_vector_column(spark, tmp_path):
     assert got == _state(spark, a, cols)
     assert got == {("c1", 1, "one-v2", (9.0, 9.0))} or got == {
         ("c1", 1, "one-v2", [9.0, 9.0])}
+
+
+def test_cascade_snapshot_bootstrap_after_vacuum(spark, tmp_path):
+    """A fresh target whose diff base has been expired by the source's
+    vacuum takes a snapshot_hop bootstrap (full current snapshot as one
+    epoch at the current version) and then continues incrementally.
+    (Regression: cascade_until_current(…, 0) used to crash with a raw
+    FileNotFoundError once v0's manifest was vacuumed.)"""
+    from milvus_cdc_spark.streaming.cascade import create_target_like
+
+    a = SnapshotTable(str(tmp_path / "a"))
+    a.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    for i in range(4):
+        apply_batch(spark, a, _mk(spark, [
+            _ev(10 * i + j, f"c{i}_{j}", 1, f"t{i}{j}", i + 1)
+            for j in range(1, 4)
+        ]), i)
+    a.vacuum(keep_versions=2, min_age_sec=0)
+    with pytest.raises(FileNotFoundError):
+        a.at_version(0)
+
+    b = SnapshotTable(str(tmp_path / "b"))
+    create_target_like(a, b)
+    hops = cascade_until_current(spark, a, b, 0)
+    assert len(hops) == 1 and hops[0].get("snapshot_bootstrap")
+    assert hops[0]["to_version"] == a.current().version
+    assert _state(spark, b) == _state(spark, a)
+
+    # the tail continues incrementally from the bootstrap position
+    apply_batch(spark, a, _mk(spark, [
+        _ev(100, "c0_1", 1, "updated", 9, op="UPSERT"),
+        _ev(101, "c1_1", 1, None, 9, op="DELETE"),
+    ]), 5)
+    from_v = max(int(e) for e in b.current().epochs if int(e) >= 0)
+    hops2 = cascade_until_current(spark, a, b, from_v)
+    assert len(hops2) == 1 and not hops2[0].get("snapshot_bootstrap")
+    assert _state(spark, b) == _state(spark, a)
+
+    # re-run of the bootstrap is a no-op (epoch gate)
+    c = SnapshotTable(str(tmp_path / "c"))
+    create_target_like(a, c)
+    cascade_until_current(spark, a, c, 0)
+    before = c.current().version
+    again = cascade_until_current(spark, a, c, 0)
+    assert again == [] or again[0].get("skipped")
+    assert c.current().version == before
+
+
+def test_cascade_expired_base_with_stale_target_fails_loudly(spark, tmp_path):
+    """A target that already holds state but is positioned below the
+    source's earliest retained version must NOT silently diff from a
+    later base (rows untouched since the expired base would never
+    arrive) — it raises a clear error instead."""
+    a, b = _pair(spark, tmp_path)
+    apply_batch(spark, a, _mk(spark, [_ev(1, "c1", 1, "x", 1)]), 0)
+    cascade_until_current(spark, a, b, 0)  # target now at v1
+    for i in range(1, 5):
+        apply_batch(spark, a, _mk(spark, [
+            _ev(10 + i, f"c{i}", 1, f"t{i}", i + 1)
+        ]), i)
+    a.vacuum(keep_versions=2, min_age_sec=0)
+    pos = max(int(e) for e in b.current().epochs if int(e) >= 0)
+    assert pos < a.earliest_retained_version()
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        cascade_until_current(spark, a, b, pos)
+
+
+def test_fresh_target_mirrors_source_rename_history(spark, tmp_path):
+    """A target created from a source WITH rename history must mirror
+    the source's physical layout + rename map: wire envelopes carry
+    renamed-column values in their physical slots, so a target whose
+    physical column were the post-rename logical name would silently
+    drop them. (Regression for the create-from-logical-names bug.)"""
+    from milvus_cdc_spark.streaming.cascade import create_target_like
+
+    a = SnapshotTable(str(tmp_path / "a"))
+    a.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    apply_batch(spark, a, _mk(spark, [
+        _ev(1, None, None, None, 1, op=S.OP_RENAME_COLUMN,
+            ddl_arg='{"from":"tool","to":"tool_name"}'),
+        _ev(2, "c1", 1, "hello", 1, tool="srch"),
+    ]), 0)
+    b = SnapshotTable(str(tmp_path / "b"))
+    create_target_like(a, b)
+    bm = b.current()
+    assert dict(bm.renames) == {"tool": "tool_name"}
+    assert "tool" in {n for n, _t in bm.columns}
+    cascade_until_current(spark, a, b, 0)
+    cols = ("conv_id", "turn_idx", "text", "tool_name", "lsn")
+    assert _state(spark, b, cols) == _state(spark, a, cols)
+    got = {r["tool_name"] for r in b.read(spark).collect()}
+    assert got == {"srch"}

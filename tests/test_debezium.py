@@ -441,3 +441,20 @@ def test_streaming_drain_with_live_schema_history(spark, tmp_path):
     want_set = sorted(tuple(r[c] for c in cs) for r in want)
     got_set = sorted(tuple(r[c] for c in cs) for r in got.collect())
     assert got_set == want_set
+
+
+def test_history_encoder_emits_create_for_no_alters(spark):
+    """A table with no ALTERs still gets its CREATE history message
+    (regression: the empty-ddl_rows path crashed on ts=None)."""
+    import json as _json
+
+    from milvus_cdc_spark.sources.debezium import to_debezium_history
+
+    df = to_debezium_history(spark, [], S.TRANSCRIPTS_BASE_COLUMNS)
+    rows = df.collect()
+    assert len(rows) == 1
+    msg = _json.loads(rows[0]["value"])
+    assert msg["tableChanges"][0]["type"] == "CREATE"
+    assert msg["ts_ms"] == 0
+    got = [c["name"] for c in msg["tableChanges"][0]["table"]["columns"]]
+    assert got == [n for n, _t in S.TRANSCRIPTS_BASE_COLUMNS]

@@ -340,3 +340,67 @@ def test_cli_multi_collection_lifecycle(spark, tmp_path):
 
     cli("delete", "--name", "m1", "--tasks-dir", tasks_dir, "--drop-checkpoint")
     assert cli("list", "--tasks-dir", tasks_dir) == []
+
+
+def test_registry_view_publish_specs_require_src_table(tmp_path):
+    """A view/publish spec without src_table would KeyError later in
+    position(); create() rejects it up front."""
+    import pytest
+
+    reg = TaskRegistry(str(tmp_path / "tasks"))
+    for field in ("view_store", "publish_out"):
+        with pytest.raises(ValueError, match="src_table"):
+            reg.create(f"bad_{field}", {
+                "log": str(tmp_path / "log"),
+                field: str(tmp_path / field),
+                "checkpoint": str(tmp_path / f"ckpt_{field}"),
+            })
+
+
+def test_cli_create_registers_view_and_publish_tasks(spark, tmp_path):
+    """'create --name --src-table --view-store|--out' registers the task
+    (regression: the --src-table branch used to hard-require --table, so
+    named view/publish tasks were unreachable from the CLI), and
+    position() reports Spark-free."""
+    from milvus_cdc_spark import schemas as S
+    from milvus_cdc_spark.operators.apply import apply_batch
+    from milvus_cdc_spark.plans.manifest import SnapshotTable
+    from milvus_cdc_spark.streaming.cli import main
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    src.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    apply_batch(
+        spark, src,
+        generate_changelog(spark, 100, evolve=False, drops=False), epoch=0,
+    )
+    tasks = str(tmp_path / "tasks")
+    rc = main(["create", "--name", "v1", "--tasks-dir", tasks,
+               "--src-table", src.root,
+               "--view-store", str(tmp_path / "view"),
+               "--checkpoint", str(tmp_path / "ck_v")])
+    assert rc == 0
+    rc = main(["create", "--name", "p1", "--tasks-dir", tasks,
+               "--src-table", src.root,
+               "--out", str(tmp_path / "feed"),
+               "--checkpoint", str(tmp_path / "ck_p")])
+    assert rc == 0
+    reg = TaskRegistry(tasks)
+    assert reg.get("v1")["view_store"] and reg.get("p1")["publish_out"]
+    assert reg.position("v1")["versions_behind"] >= 1
+    assert reg.position("p1")["versions_behind"] >= 1
+
+
+def test_cli_src_table_mode_flags_are_exclusive(tmp_path):
+    """--src-table with more than one of --view-store/--out/--table is
+    ambiguous (the --out branch used to silently win over --table and
+    publish instead of cascade) — the parser errors out."""
+    import pytest
+
+    from milvus_cdc_spark.streaming.cli import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["drain", "--src-table", str(tmp_path / "s"),
+              "--table", str(tmp_path / "t"),
+              "--out", str(tmp_path / "o"),
+              "--checkpoint", str(tmp_path / "ck")])
+    assert e.value.code != 0

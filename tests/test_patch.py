@@ -237,6 +237,34 @@ def test_patch_below_drop_watermark_dies(spark, tmp_path):
 
 
 @pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_patch_moves_row_across_partitions(spark, tmp_path, mode):
+    """A patch carrying a different part MOVES the row: its bookkeeping
+    (ts, part, lsn) advances to the newest applied piece, so a later
+    DROP_PARTITION on the OLD part spares it and one on the NEW part
+    kills it — engine and sequential oracle agree. (Regression: the
+    oracle used to keep the anchor's part, a latent divergence masked by
+    fixtures that derive part from conv_id.)"""
+    base = [
+        _ev(1, "INSERT", "mover", 1, 1, role="user", text="a", part=3),
+        _ev(2, "INSERT", "stay3", 1, 1, role="user", text="b", part=3),
+        _ev(3, "PATCH", "mover", 1, 2, tool="p", part=5),
+    ]
+    drop_old = (4, datetime(2024, 1, 1, 0, 0, 9), 3, "DROP_PARTITION",
+                None, None, None, None, None, '{"part":3}', None)
+    drop_new = (4, datetime(2024, 1, 1, 0, 0, 9), 5, "DROP_PARTITION",
+                None, None, None, None, None, '{"part":5}', None)
+    for tag, drop, survivors in (("old", drop_old, ["mover"]),
+                                 ("new", drop_new, ["stay3"])):
+        events = base + [drop]
+        t = SnapshotTable(str(tmp_path / f"t_{mode}_{tag}"))
+        t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4, write_mode=mode)
+        _apply_epochs(spark, t, events, cuts=[3])
+        st = _state(spark, t)
+        assert st == _oracle_state(events), tag
+        assert [r[0] for r in st] == survivors, tag
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
 def test_patch_promoted_column_via_bag(spark, tmp_path, mode):
     """A patch can set an ADD_COLUMN-promoted field through the dynamic
     bag — bag promotion decodes it into the typed column exactly as for

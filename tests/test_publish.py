@@ -63,6 +63,47 @@ def test_publish_consume_round_trip(spark, tmp_path, src):
     assert len(want_rows) == len(got)
 
 
+def test_publish_two_rounds_in_one_consumer_batch(spark, tmp_path, src):
+    """A key's insert envelope (round N) and its tombstone (round N+1)
+    batched into ONE consumer trigger must not trip apply_batch's
+    duplicate-lsn gate: the tombstone carries the pre-image's lsn offset
+    by _DELETE_LSN_OFFSET, so the pair stays distinct. (Regression: the
+    tombstone used to reuse the pre-image lsn verbatim, which paused any
+    consumer whose trigger spanned both rounds.)"""
+    from datetime import datetime
+
+    from milvus_cdc_spark.streaming.cascade import _DELETE_LSN_OFFSET
+
+    ts0 = datetime(2024, 1, 1)
+    ins = spark.createDataFrame(
+        [(5, ts0, 0, "INSERT", "c1", 1, "user", "keep", None, None, None),
+         (6, ts0, 0, "INSERT", "c2", 1, "user", "stay", None, None, None)],
+        S.CHANGELOG_SCHEMA,
+    )
+    dele = spark.createDataFrame(
+        [(7, datetime(2024, 1, 2), 0, "DELETE", "c1", 1, None, None, None,
+          None, None)],
+        S.CHANGELOG_SCHEMA,
+    )
+    feed = str(tmp_path / "feed")
+    apply_batch(spark, src, ins, epoch=0)
+    r1 = publish_round(spark, src, feed)
+    apply_batch(spark, src, dele, epoch=1)
+    r2 = publish_round(spark, src, feed)
+    assert r1["published"] == 2 and r2["published"] == 1
+    # one batch spanning both rounds — the exact trigger shape a tailing
+    # CdcTask produces on catch-up
+    both = read_debezium(spark, os.path.join(feed, "*.jsonl"))
+    lsns = [r["lsn"] for r in both.select("lsn").collect()]
+    assert len(lsns) == len(set(lsns)) == 3
+    assert any(l >= _DELETE_LSN_OFFSET for l in lsns)
+    dst = SnapshotTable(str(tmp_path / "dst"))
+    dst.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    apply_batch(spark, dst, both, epoch=0)  # raised "duplicate lsn" before
+    got = sorted(r["conv_id"] for r in dst.read(spark).collect())
+    assert got == ["c2"]
+
+
 def test_publish_noop_at_unadvanced_head(spark, tmp_path, src):
     apply_batch(
         spark, src,
@@ -241,3 +282,23 @@ def test_publish_cli_round_trip(spark, tmp_path):
     # emits OP_UPSERT for non-deletes; 'u' on the wire) with its identity
     assert dec.filter(F.col("op") != "UPSERT").count() == 0
     assert dec.filter(F.col("lsn").isNull()).count() == 0
+
+
+def test_publish_expired_cursor_fails_loudly(spark, tmp_path, src):
+    """A publish cursor below the source's earliest retained version
+    cannot advance without silently dropping delete events — the round
+    raises a clear error instead of a raw FileNotFoundError (or worse,
+    a tombstone-free re-bootstrap leaving consumers with ghost rows)."""
+    feed = str(tmp_path / "feed")
+    log = generate_changelog(spark, 400, evolve=False, drops=False)
+    apply_batch(spark, src, log.filter(F.col("lsn") < 100), epoch=0)
+    publish_round(spark, src, feed)
+    for i in range(1, 4):
+        apply_batch(
+            spark, src,
+            log.filter((F.col("lsn") >= i * 100) & (F.col("lsn") < (i + 1) * 100)),
+            epoch=i,
+        )
+    src.vacuum(keep_versions=2, min_age_sec=0)
+    with pytest.raises(ValueError, match="expired by vacuum"):
+        publish_round(spark, src, feed)
