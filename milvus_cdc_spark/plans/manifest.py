@@ -48,6 +48,7 @@ import hashlib
 import json
 import os
 import shutil
+import tempfile
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -1188,6 +1189,7 @@ class SnapshotTable:
             "retained_versions": (
                 [retained[0], retained[-1]] if retained else []
             ),
+            "pins": self.pins(),
             "buckets": buckets,
         }
 
@@ -1251,13 +1253,68 @@ class SnapshotTable:
             self._write_manifest(nm)
         return nm
 
+    # ---- consumer version pins (retention coordination) ------------------
+    # An incremental consumer (publish feed, cascade replica, any
+    # changes()-based pipeline) is only sound while its diff base's
+    # manifest is retained — vacuum expiring it forces a re-bootstrap or,
+    # worse, silent delete loss (see publish_round / cascade_until_current
+    # guards). Pins close the loop: a consumer records the version it will
+    # next diff FROM, and vacuum never expires at or above the lowest pin.
+    # The reference keeps consumer replay positions in etcd for the same
+    # reason (server/cdc_impl.go task positions gate what the source MQ
+    # may drop); Iceberg's analogue is branch/tag retention refs. Pins are
+    # tiny JSON files (atomic tmp+replace, same protocol as every other
+    # meta commit) so they work from any process, Spark-free.
+
+    @property
+    def pins_dir(self) -> str:
+        return os.path.join(self.meta_dir, "pins")
+
+    def pin_version(self, name: str, version: int) -> None:
+        """Record (or advance) consumer ``name``'s pin: vacuum keeps every
+        manifest ≥ the lowest pinned version. Re-pinning overwrites —
+        consumers pin their new cursor after each consumed round."""
+        if not name or not all(c.isalnum() or c in "._-" for c in name):
+            raise ValueError(
+                f"pin name must be non-empty [A-Za-z0-9._-], got {name!r}"
+            )
+        os.makedirs(self.pins_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.pins_dir, prefix="_pin")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": int(version), "pinned_at": time.time()}, f)
+        os.replace(tmp, os.path.join(self.pins_dir, f"{name}.json"))
+
+    def unpin(self, name: str) -> bool:
+        """Drop a consumer's pin (e.g. the feed was decommissioned);
+        returns whether it existed."""
+        p = os.path.join(self.pins_dir, f"{name}.json")
+        if os.path.exists(p):
+            os.remove(p)
+            return True
+        return False
+
+    def pins(self) -> dict[str, int]:
+        if not os.path.isdir(self.pins_dir):
+            return {}
+        out: dict[str, int] = {}
+        for fn in sorted(os.listdir(self.pins_dir)):
+            if fn.endswith(".json") and not fn.startswith("_"):
+                with open(os.path.join(self.pins_dir, fn)) as f:
+                    out[fn[:-5]] = int(json.load(f)["version"])
+        return out
+
     def vacuum(
         self, keep_versions: int = 2, min_age_sec: float = 3600.0
     ) -> dict[str, int]:
         """Delete data files unreferenced by the last ``keep_versions``
         manifests, and expire older manifests — Iceberg's
         ``expire_snapshots``. Keeping >1 version preserves short-horizon
-        time travel and in-flight readers.
+        time travel and in-flight readers. Consumer pins (``pin_version``)
+        FLOOR the expiry: every manifest at or above the lowest pin stays
+        retained no matter how small ``keep_versions`` is, so a lagging
+        feed or replica can always take its incremental diff. (A consumer
+        pinned far in the past therefore blocks reclamation — ``pins()``
+        in the returned dict / ``stats`` surfaces who.)
 
         ``min_age_sec`` protects the write-then-commit window: an epoch's
         data files land on disk BEFORE its manifest commit (see
@@ -1269,6 +1326,9 @@ class SnapshotTable:
         now = _time.time()
         cur = self.current()
         lo = max(0, cur.version - keep_versions + 1)
+        pin_map = self.pins()
+        if pin_map:
+            lo = min(lo, min(pin_map.values()))
         keep: set[str] = set()
         for v in range(lo, cur.version + 1):
             try:
@@ -1298,11 +1358,14 @@ class SnapshotTable:
             if os.path.exists(p):
                 os.remove(p)
                 expired += 1
-        return {
+        out = {
             "deleted_files": deleted,
             "freed_bytes": freed,
             "expired_manifests": expired,
         }
+        if pin_map:
+            out["pin_floor"] = min(pin_map.values())
+        return out
 
     # ---- dead-letter queue (quarantined poison events) -------------------
     # apply_batch(on_malformed='dlq') lands rejects under

@@ -22,7 +22,9 @@ schema tracks the source's hop by hop.
 
 from __future__ import annotations
 
+import hashlib
 import json
+import os
 from datetime import datetime, timezone
 from typing import Any
 
@@ -48,6 +50,14 @@ _FIXED = ("conv_id", "turn_idx", "ts", "part", "lsn")
 # and pre-image lsns are unique), and still inside the decimal ord
 # packing's lsn digit budget (2^62 ≈ 4.6e18 < 10^21, see apply.py:70).
 _DELETE_LSN_OFFSET = 1 << 62
+
+
+def consumer_pin_name(root_or_dir: str, kind: str) -> str:
+    """Deterministic retention-pin name for an incremental consumer
+    identified by a filesystem path (cascade target root, publish feed
+    dir): stable across processes/restarts, filesystem-safe."""
+    h = hashlib.sha1(os.path.abspath(root_or_dir).encode()).hexdigest()[:12]
+    return f"{kind}-{h}"
 
 
 def changes_to_ops(
@@ -319,6 +329,10 @@ def cascade_until_current(
             results.append(
                 snapshot_hop(spark, src, dst, salt_partitions=salt_partitions)
             )
+            src.pin_version(
+                consumer_pin_name(dst.root, "cascade"),
+                results[-1]["to_version"],
+            )
             return results
     while v < cur:
         nxt = min(cur, v + hop_versions) if hop_versions else cur
@@ -329,4 +343,7 @@ def cascade_until_current(
             )
         )
         v = nxt
+    # retention coordination: record the position this replica will next
+    # diff FROM, so the source's vacuum never expires our base
+    src.pin_version(consumer_pin_name(dst.root, "cascade"), v)
     return results

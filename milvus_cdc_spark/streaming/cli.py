@@ -256,7 +256,7 @@ def main(argv: list[str] | None = None) -> int:
             "create", "drain", "status", "tail", "pause", "resume",
             "delete", "list", "position", "compact", "vacuum", "bootstrap",
             "convert", "cascade", "pipeline", "rollup", "rollback", "dlq",
-            "lookup", "rebucket", "stats", "publish",
+            "lookup", "rebucket", "stats", "publish", "pins",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -280,6 +280,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="fail-protect: failures per window before Paused")
     p.add_argument("--fail-window-sec", type=float, default=60.0)
     p.add_argument("--snapshot", help="bootstrap: parquet dir of the initial full load")
+    p.add_argument("--unpin", default=None,
+                   help="pins: drop this consumer pin (see 'pins' output "
+                        "for names) so it stops flooring vacuum")
     p.add_argument("--src-table", help="cascade: source SnapshotTable root")
     p.add_argument("--src-tables-root",
                    help="instance-level cascade: replicate every "
@@ -364,6 +367,22 @@ def main(argv: list[str] | None = None) -> int:
         # multi-collection trees alike (the reference's one maintenance
         # verb serves any task, server/cdc_api.go:26-36)
         print(json.dumps(_maintenance_roots(a, p, "vacuum")))
+        return 0
+    if a.command == "pins":
+        # retention-coordination inspection — Spark-free. Lists each
+        # table's consumer pins (who is flooring vacuum, and at which
+        # version); --unpin drops a decommissioned consumer's pin.
+        from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+        out = {}
+        for name, root in _task_table_roots(a, p):
+            t = SnapshotTable(root)
+            entry = {"pins": t.pins(), "current": t.current().version}
+            if a.unpin:
+                entry["unpinned"] = t.unpin(a.unpin)
+                entry["pins"] = t.pins()
+            out[name] = entry
+        print(json.dumps(out))
         return 0
     if a.command == "stats":
         # table inspection — Spark-free (manifest + parquet footers only,

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from milvus_cdc_spark.plans.manifest import SnapshotTable
 from milvus_cdc_spark.sources.debezium import to_debezium
-from milvus_cdc_spark.streaming.cascade import changes_to_ops
+from milvus_cdc_spark.streaming.cascade import changes_to_ops, consumer_pin_name
 
 
 def _read_cursor(out_dir: str) -> int | None:
@@ -130,6 +130,10 @@ def publish_round(
     finally:
         env.unpersist()
     _write_cursor(out_dir, cur.version)
+    # retention coordination: pin the version the next round diffs FROM,
+    # so the table's vacuum can't expire the feed's base (the error
+    # above becomes unreachable in the steady publish→vacuum cadence)
+    table.pin_version(consumer_pin_name(out_dir, "publish"), cur.version)
     return {
         "published": n, "files": names,
         "from_version": prev, "to_version": cur.version,

@@ -173,6 +173,18 @@ class TaskRegistry:
             import shutil
 
             shutil.rmtree(spec["checkpoint"], ignore_errors=True)
+        # a deleted consumer must stop blocking the source's retention:
+        # drop the pin its cascade/publish rounds kept advancing
+        if spec.get("src_table"):
+            from milvus_cdc_spark.plans.manifest import SnapshotTable
+            from milvus_cdc_spark.streaming.cascade import consumer_pin_name
+
+            src = SnapshotTable(spec["src_table"])
+            if src.exists():
+                target = spec.get("table") or spec.get("publish_out")
+                kind = "publish" if spec.get("publish_out") else "cascade"
+                if target:
+                    src.unpin(consumer_pin_name(target, kind))
         # NOTE: when the checkpoint is kept, the sentinel is deliberately
         # left in place so a STILL-RUNNING process stops at its next poll;
         # create() clears any stale sentinel if the checkpoint is re-used.

@@ -302,6 +302,8 @@ def test_cascade_expired_base_with_stale_target_fails_loudly(spark, tmp_path):
     source's earliest retained version must NOT silently diff from a
     later base (rows untouched since the expired base would never
     arrive) — it raises a clear error instead."""
+    from milvus_cdc_spark.streaming.cascade import consumer_pin_name
+
     a, b = _pair(spark, tmp_path)
     apply_batch(spark, a, _mk(spark, [_ev(1, "c1", 1, "x", 1)]), 0)
     cascade_until_current(spark, a, b, 0)  # target now at v1
@@ -309,6 +311,9 @@ def test_cascade_expired_base_with_stale_target_fails_loudly(spark, tmp_path):
         apply_batch(spark, a, _mk(spark, [
             _ev(10 + i, f"c{i}", 1, f"t{i}", i + 1)
         ]), i)
+    # the hop's retention pin would floor the vacuum — this scenario is
+    # the UNPINNED one (operator dropped it / pre-pinning replica)
+    assert a.unpin(consumer_pin_name(b.root, "cascade"))
     a.vacuum(keep_versions=2, min_age_sec=0)
     pos = max(int(e) for e in b.current().epochs if int(e) >= 0)
     assert pos < a.earliest_retained_version()

@@ -288,11 +288,17 @@ def test_publish_expired_cursor_fails_loudly(spark, tmp_path, src):
     """A publish cursor below the source's earliest retained version
     cannot advance without silently dropping delete events — the round
     raises a clear error instead of a raw FileNotFoundError (or worse,
-    a tombstone-free re-bootstrap leaving consumers with ghost rows)."""
+    a tombstone-free re-bootstrap leaving consumers with ghost rows).
+    Reachable only when the feed's retention pin is gone (operator
+    unpinned it, or the feed predates pinning) — publish_round pins its
+    base otherwise."""
+    from milvus_cdc_spark.streaming.cascade import consumer_pin_name
+
     feed = str(tmp_path / "feed")
     log = generate_changelog(spark, 400, evolve=False, drops=False)
     apply_batch(spark, src, log.filter(F.col("lsn") < 100), epoch=0)
     publish_round(spark, src, feed)
+    assert src.unpin(consumer_pin_name(feed, "publish"))
     for i in range(1, 4):
         apply_batch(
             spark, src,
