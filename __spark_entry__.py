@@ -644,6 +644,68 @@ FROM log WHERE lsn % 97 = 0 OR lsn % 101 = 0
 """
 
 
+_CONSTRAINT_EXPR = "text NOT LIKE '%7'"
+
+
+def _q_cdc_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE probe for the ingest-time data-quality constraint gate
+    (apply_batch(constraints=..., on_violation='dlq') — beyond-reference:
+    Milvus has no ingest CHECK; this is the quality gating a training-data
+    pipeline needs at the door). A declared predicate (SQL CHECK
+    semantics: FALSE violates, null passes) quarantines every event whose
+    text ends in '7' across two epochs; the final table must equal the
+    last-writer replay of exactly the PASSING subset — violating events
+    neither land nor steer bucket routing, and the dlq rows carry the
+    failed expression as their reason."""
+    log = _derive_changelog(spark, sf_dir)
+    root = _probe_table_root(sf_dir, "constraints")
+    table = SnapshotTable(os.path.join(root, "transcripts"))
+    table.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=8, overwrite=True)
+    hi = log.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    for i, batch in enumerate(
+        (log.filter(F.col("lsn") <= mid), log.filter(F.col("lsn") > mid))
+    ):
+        apply_batch(
+            spark, table, batch, epoch=i,
+            constraints=[_CONSTRAINT_EXPR], on_violation="dlq",
+        )
+    live = table.read(spark).select(
+        F.lit("live").alias("src"),
+        "lsn", "conv_id", "turn_idx", "text",
+        F.lit(None).cast("string").alias("reason"),
+    )
+    dlq = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(table.root, "dlq"))
+        .select(
+            F.lit("dlq").alias("src"),
+            "lsn", "conv_id", "turn_idx", "text",
+            F.col("_reason").alias("reason"),
+        )
+    )
+    return live.unionByName(dlq)
+
+
+_ORACLE_CONSTRAINTS = f"""
+WITH log AS ({_DERIVE_SQL}),
+passing AS (SELECT * FROM log WHERE text NOT LIKE '%7'),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, (CASE WHEN op = 'DELETE' THEN 0 ELSE 2 END) DESC, lsn DESC
+  ) AS rn
+  FROM passing)
+SELECT 'live' AS src, lsn, conv_id, turn_idx, text,
+       CAST(NULL AS VARCHAR) AS reason
+FROM ranked WHERE rn = 1 AND op <> 'DELETE'
+UNION ALL
+SELECT 'dlq' AS src, lsn, conv_id, turn_idx, text,
+       'constraint violated: text NOT LIKE ''%7''' AS reason
+FROM log WHERE text LIKE '%7'
+"""
+
+
 def _q_cdc_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENGINE probe for the Debezium-envelope source adapter
     (sources/debezium.py — the public-standard CDC envelope standing in
@@ -2149,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_patch"] = _q_cdc_patch
     q["cdc_table_truncate"] = _q_cdc_table_truncate
     q["cdc_dlq"] = _q_cdc_dlq
+    q["cdc_constraints"] = _q_cdc_constraints
     q["cdc_debezium"] = _q_cdc_debezium
     q["cdc_debezium_ddl"] = _q_cdc_debezium_ddl
     q["cdc_schema_widen"] = _q_cdc_schema_widen
@@ -2691,6 +2754,7 @@ def oracle_sql() -> dict[str, str]:
         # quarantine: final state ≡ clean-subset replay, dlq dir ≡ the
         # poison set with the engine's reason strings
         "cdc_dlq": _ORACLE_DLQ,
+        "cdc_constraints": _ORACLE_CONSTRAINTS,
         # Debezium envelope encode→decode→apply must land the flagship
         # final state (lossless round trip) — one oracle pins both paths
         "cdc_debezium": _ORACLE_FINAL_STATE,

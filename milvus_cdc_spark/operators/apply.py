@@ -620,8 +620,23 @@ def apply_batch(
     salt_partitions: int | None = None,
     write_lineage: bool = True,
     on_malformed: str = "fail",
+    constraints: list[str] | None = None,
+    on_violation: str = "fail",
 ) -> dict[str, Any]:
     """Apply one micro-batch of changelog rows. Idempotent per epoch.
+
+    ``constraints`` are user-declared row predicates (Spark SQL boolean
+    expressions over the payload, e.g. ``"length(text) <= 1000000"``,
+    ``"role IN ('user','assistant','system','tool')"``) enforced at
+    ingest with SQL CHECK semantics: a DML event violates iff an
+    expression evaluates to literal FALSE — UNKNOWN (null) passes, so a
+    PATCH that doesn't carry the column, or a DELETE (no payload), is
+    never misjudged. ``on_violation`` mirrors ``on_malformed``: "fail"
+    raises before anything commits, "dlq" quarantines violating events
+    (reason = the first failed expression) and applies the rest. This is
+    the ingest-side data-quality gate a training-data pipeline wants —
+    garbage stops at the door instead of poisoning every downstream
+    incremental consumer.
 
     ``on_malformed`` decides the fate of poison events — DML rows missing
     their key (null conv_id/turn_idx), rows missing lsn/ts, and DDL rows
@@ -696,22 +711,32 @@ def apply_batch(
         | (is_dml & (F.col("conv_id").isNull() | F.col("turn_idx").isNull()))
     )
     ok = ~malformed
+    # user constraints, SQL CHECK semantics: FALSE violates, null passes
+    # (DML only — DDL carries no payload). Counted inside the same
+    # bookkeeping scan, zero extra jobs on the clean path.
+    checks = [(c, F.expr(f"({c}) IS FALSE")) for c in (constraints or [])]
+    violated = F.lit(False)
+    for _c, e in checks:
+        violated = violated | e
+    violated = is_dml & violated if checks else F.lit(False)
+    clean = ok & ~violated
     per_part = (
         batch_df.groupBy("part")
         .agg(
             F.min("lsn").alias("start_lsn"),
             F.max("lsn").alias("end_lsn"),
-            F.sum(F.when(ok & F.col("op").isin(S.OP_INSERT, S.OP_UPSERT), 1).otherwise(0)).alias("n_insert"),
-            F.sum(F.when(ok & (F.col("op") == S.OP_PATCH), 1).otherwise(0)).alias("n_patch"),
-            F.sum(F.when(ok & (F.col("op") == S.OP_DELETE), 1).otherwise(0)).alias("n_delete"),
-            F.sum(F.when(ok & F.col("op").isin(*S.DDL_OPS), 1).otherwise(0)).alias("n_ddl"),
+            F.sum(F.when(clean & F.col("op").isin(S.OP_INSERT, S.OP_UPSERT), 1).otherwise(0)).alias("n_insert"),
+            F.sum(F.when(clean & (F.col("op") == S.OP_PATCH), 1).otherwise(0)).alias("n_patch"),
+            F.sum(F.when(clean & (F.col("op") == S.OP_DELETE), 1).otherwise(0)).alias("n_delete"),
+            F.sum(F.when(clean & F.col("op").isin(*S.DDL_OPS), 1).otherwise(0)).alias("n_ddl"),
             F.sum(F.when(malformed, 1).otherwise(0)).alias("n_malformed"),
+            F.sum(F.when(ok & violated, 1).otherwise(0)).alias("n_violation"),
             F.collect_set(
-                F.when(ok & is_dml, bucket_of)
+                F.when(clean & is_dml, bucket_of)
             ).alias("buckets"),
             F.collect_list(
                 F.when(
-                    ok & F.col("op").isin(*S.DDL_OPS),
+                    clean & F.col("op").isin(*S.DDL_OPS),
                     F.struct("lsn", "op", "ts", "part", "ddl_arg"),
                 )
             ).alias("ddl"),
@@ -734,6 +759,7 @@ def apply_batch(
     n_delete = sum(r["n_delete"] for r in per_part)
     n_ddl = sum(r["n_ddl"] for r in per_part) - len(bad_ddl)
     n_malformed = sum(r["n_malformed"] for r in per_part)
+    n_violation = sum(r["n_violation"] for r in per_part)
     n_dlq = n_malformed + len(bad_ddl)
     if n_dlq:
         if on_malformed != "dlq":
@@ -781,6 +807,31 @@ def apply_batch(
             )
             bad_lsns = [r["lsn"] for r, _ in bad_ddl]
             batch_df = batch_df.filter(~F.col("lsn").isin(bad_lsns))
+    if n_violation:
+        if on_violation != "dlq":
+            raise ValueError(
+                f"epoch {epoch}: {n_violation} event(s) violate declared "
+                f"constraints {list(constraints or [])} — pass "
+                "on_violation='dlq' to quarantine them and continue"
+            )
+        dlq_dir = os.path.join(table.root, "dlq", f"epoch-{epoch}")
+        vio_reason = F.coalesce(
+            *[
+                F.when(e, F.lit(f"constraint violated: {c}"))
+                for c, e in checks
+            ]
+        )
+        (
+            batch_df.filter(violated)  # malformed rows already removed
+            .withColumn("_reason", vio_reason)
+            .write
+            # idempotent replay: overwrite clears the epoch dir, unless a
+            # malformed/bad-DDL quarantine already (re)wrote it this run
+            .mode("append" if (n_dlq and on_malformed == "dlq") else "overwrite")
+            .parquet(dlq_dir)
+        )
+        batch_df = batch_df.filter(~violated)
+        n_dlq += n_violation
     # GLOBAL distinct-lsn count as its OWN job: a distinct aggregate mixed
     # into the per-part agg plans with an Expand that duplicates every row
     # through the (wider) bookkeeping scan — measured 3.5-7x slower than
@@ -1104,6 +1155,7 @@ def apply_batch(
         "n_delete": n_delete,
         "n_ddl": n_ddl,
         "n_dlq": n_dlq,
+        "n_violation": n_violation,
         "n_keys_live_in_touched": n_keys,
         "touched_buckets": sorted(touched),
         "snapshot_id": snap_id,

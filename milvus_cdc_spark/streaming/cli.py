@@ -192,6 +192,8 @@ def _build_task(spark, spec, a):
         write_mode=spec.get("write_mode", a.write_mode),
         auto_compact_files=spec.get("auto_compact_files", a.auto_compact_files),
         on_malformed=spec.get("on_malformed", a.on_malformed),
+        constraints=spec.get("constraints", a.constraint),
+        on_violation=spec.get("on_violation", a.on_violation),
     )
     kw["source"] = spec.get("source", a.source)
     kw["history_path"] = spec.get("history", a.history)
@@ -316,6 +318,16 @@ def main(argv: list[str] | None = None) -> int:
                         "commits (default); 'dlq' quarantines them to "
                         "<table>/dlq/epoch-N/ with a _reason column and "
                         "applies the rest")
+    p.add_argument("--constraint", action="append", default=None,
+                   help="ingest-time data-quality constraint (Spark SQL "
+                        "boolean over the payload, SQL CHECK semantics: "
+                        "FALSE violates, null passes); repeatable, e.g. "
+                        "--constraint \"length(text) <= 1000000\" "
+                        "--constraint \"role IN ('user','assistant')\"")
+    p.add_argument("--on-violation", choices=["fail", "dlq"], default="fail",
+                   help="constraint-violating events: 'fail' pauses the "
+                        "task (default); 'dlq' quarantines them with the "
+                        "failed expression as _reason and applies the rest")
     p.add_argument("--auto-compact-files", type=int, default=None,
                    help="compact a table at the next epoch boundary once "
                         "any bucket exceeds this many files (MOR "
@@ -691,6 +703,8 @@ def main(argv: list[str] | None = None) -> int:
                 "write_mode": a.write_mode,
                 "auto_compact_files": a.auto_compact_files,
                 "on_malformed": a.on_malformed,
+                "constraints": a.constraint,
+                "on_violation": a.on_violation,
                 "source": a.source,
                 "history": a.history,
             }

@@ -302,6 +302,8 @@ class CdcTask(_TaskLifecycle):
         write_mode: str = "cow",
         auto_compact_files: int | None = None,
         on_malformed: str = "fail",
+        constraints: list[str] | None = None,
+        on_violation: str = "fail",
         source: str = "parquet",
         history_path: str | None = None,
     ):
@@ -317,6 +319,8 @@ class CdcTask(_TaskLifecycle):
         self.spark = spark
         self.changelog_path = changelog_path
         self.on_malformed = on_malformed
+        self.constraints = list(constraints or [])
+        self.on_violation = on_violation
         # 'parquet' = native changelog files; 'debezium' = JSON-lines
         # Debezium envelopes, normalized to the same schema at the scan
         # (sources/debezium.py) — everything downstream is identical
@@ -373,6 +377,8 @@ class CdcTask(_TaskLifecycle):
                 epoch_id,
                 salt_partitions=self.salt_partitions,
                 on_malformed=self.on_malformed,
+                constraints=self.constraints,
+                on_violation=self.on_violation,
             )
             self._maybe_compact(self.table)
 
@@ -534,6 +540,8 @@ class MultiCdcTask(_TaskLifecycle):
         write_mode: str = "cow",
         auto_compact_files: int | None = None,
         on_malformed: str = "fail",
+        constraints: list[str] | None = None,
+        on_violation: str = "fail",
         source: str = "parquet",
         history_path: str | None = None,
     ):
@@ -549,6 +557,8 @@ class MultiCdcTask(_TaskLifecycle):
         self.spark = spark
         self.changelog_path = changelog_path
         self.on_malformed = on_malformed
+        self.constraints = list(constraints or [])
+        self.on_violation = on_violation
         self.source = source
         # schema-change topic dir (see CdcTask) — decoded multi_table so
         # each event routes to its collection
@@ -763,6 +773,8 @@ class MultiCdcTask(_TaskLifecycle):
                 epoch_id,
                 salt_partitions=self.salt_partitions,
                 on_malformed=self.on_malformed,
+                constraints=self.constraints,
+                on_violation=self.on_violation,
             )
             self._maybe_compact(tables[name])
             return res
