@@ -305,3 +305,94 @@ def test_fuzz_scattered_epochs_converge(spark, tmp_path, seed):
         assert got == want, f"seed={seed}: {len(got)} vs {len(want)} rows"
     finally:
         log.unpersist()
+
+
+@pytest.mark.parametrize("seed", [71, 72, 73])
+def test_fuzz_constraint_gate_matches_prefiltered_oracle(spark, tmp_path, seed):
+    """Seeded fuzz of the ingest constraint gate: random predicates from
+    a pool (each with an exact Python mirror of the SQL CHECK rule —
+    violation iff the expression is literally FALSE), random changelog
+    shape/DDL mix, random epoch cuts and application ORDER, quarantine
+    on. The final table must equal ``oracle.replay`` over the events the
+    mirror keeps, and the DLQ must hold exactly the violating count —
+    the gate composes with every other engine behavior, not just the
+    happy path."""
+    rng = random.Random(seed)
+    n = rng.randrange(1500, 3000)
+    knobs = dict(
+        seed=seed,
+        n_parts=rng.choice([2, 4]),
+        n_convs=rng.choice([20, 80]),
+        turns_per_conv=rng.choice([5, 20]),
+        n_hot=1,
+        hot_pct=rng.choice([0, 30]),
+        delete_pct=rng.choice([0, 15]),
+        upsert_pct=rng.choice([20, 50]),
+        ties_group=rng.choice([1, 8]),
+        evolve=rng.random() < 0.7,
+        drops=rng.random() < 0.5,
+        truncates=rng.random() < 0.4,
+        widens=rng.random() < 0.5,
+        num_partitions=4,
+    )
+    pool = [
+        ("turn_idx % 5 <> 0",
+         lambda r: r["turn_idx"] is not None and r["turn_idx"] % 5 == 0),
+        ("length(text) <= 40",
+         lambda r: r["text"] is not None and len(r["text"]) > 40),
+        ("conv_id NOT LIKE '%3'",
+         lambda r: r["conv_id"] is not None and r["conv_id"].endswith("3")),
+    ]
+    chosen = rng.sample(pool, rng.choice([1, 2]))
+    log = generate_changelog(spark, n, **knobs).cache()
+    try:
+        rows = [r.asDict() for r in log.collect()]
+        dml = set(S.DML_OPS)
+
+        def violated(r):
+            return r["op"] in dml and any(f(r) for _e, f in chosen)
+
+        want_rows, want_cols = replay([r for r in rows if not violated(r)])
+        n_vio = sum(1 for r in rows if violated(r))
+
+        table = SnapshotTable(str(tmp_path / f"cfuzz{seed}"))
+        table.create(
+            S.TRANSCRIPTS_BASE_COLUMNS,
+            n_buckets=rng.choice([2, 4, 8]),
+            write_mode=rng.choice(["cow", "mor"]),
+        )
+        k = rng.randrange(2, 5)
+        cuts = sorted(rng.sample(range(1, n), k - 1))
+        bounds = list(zip([0] + cuts, cuts + [n]))
+        order = list(range(k))
+        rng.shuffle(order)
+        exprs = [e for e, _f in chosen]
+        for epoch, i in enumerate(order):
+            lo, hi = bounds[i]
+            batch = log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+            apply_batch(
+                spark, table, batch, epoch=epoch,
+                constraints=exprs, on_violation="dlq",
+            )
+
+        df = table.read(spark)
+        got_cols = sorted(df.columns)
+        assert got_cols == sorted(want_cols), (knobs, exprs, got_cols)
+        got = sorted(tuple(r[c] for c in got_cols) for r in df.collect())
+        want = sorted(tuple(r[c] for c in got_cols) for r in want_rows)
+        assert got == want, (
+            f"seed={seed} knobs={knobs} exprs={exprs}: "
+            f"{len(got)} vs {len(want)} rows"
+        )
+        import os
+
+        dlq_root = os.path.join(table.root, "dlq")
+        n_dlq = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(dlq_root).count()
+            if os.path.isdir(dlq_root)
+            else 0
+        )
+        assert n_dlq == n_vio, (knobs, exprs, n_dlq, n_vio)
+    finally:
+        log.unpersist()
