@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import Any
 
@@ -761,6 +762,16 @@ def apply_batch(
     n_malformed = sum(r["n_malformed"] for r in per_part)
     n_violation = sum(r["n_violation"] for r in per_part)
     n_dlq = n_malformed + len(bad_ddl)
+    dlq_dir = os.path.join(table.root, "dlq", f"epoch-{epoch}")
+    if (n_dlq and on_malformed == "dlq") or (
+        n_violation and on_violation == "dlq"
+    ):
+        # crash-replay idempotence for the WHOLE epoch quarantine: clear
+        # the epoch dir ONCE up front, then every writer (malformed spark
+        # write, bad-DDL pyarrow file, violation spark write) appends —
+        # any mode('overwrite') here would wipe a sibling quarantine
+        # class written earlier in the same run
+        shutil.rmtree(dlq_dir, ignore_errors=True)
     if n_dlq:
         if on_malformed != "dlq":
             sample = "; ".join(reason for _r, reason in bad_ddl[:3])
@@ -770,7 +781,6 @@ def apply_batch(
                 f"{': ' + sample if sample else ''}) — pass "
                 "on_malformed='dlq' to quarantine them and continue"
             )
-        dlq_dir = os.path.join(table.root, "dlq", f"epoch-{epoch}")
         reason_col = (
             F.when(F.col("op").isNull(), "null op (unparseable event)")
             .when(F.col("lsn").isNull(), "null lsn")
@@ -781,7 +791,7 @@ def apply_batch(
             (
                 batch_df.filter(malformed)
                 .withColumn("_reason", reason_col)
-                .write.mode("overwrite")
+                .write.mode("append")
                 .parquet(dlq_dir)
             )
             batch_df = batch_df.filter(ok)
@@ -814,7 +824,6 @@ def apply_batch(
                 f"constraints {list(constraints or [])} — pass "
                 "on_violation='dlq' to quarantine them and continue"
             )
-        dlq_dir = os.path.join(table.root, "dlq", f"epoch-{epoch}")
         vio_reason = F.coalesce(
             *[
                 F.when(e, F.lit(f"constraint violated: {c}"))
@@ -824,10 +833,7 @@ def apply_batch(
         (
             batch_df.filter(violated)  # malformed rows already removed
             .withColumn("_reason", vio_reason)
-            .write
-            # idempotent replay: overwrite clears the epoch dir, unless a
-            # malformed/bad-DDL quarantine already (re)wrote it this run
-            .mode("append" if (n_dlq and on_malformed == "dlq") else "overwrite")
+            .write.mode("append")  # epoch dir pre-cleared above
             .parquet(dlq_dir)
         )
         batch_df = batch_df.filter(~violated)

@@ -191,6 +191,18 @@ def run_pipeline_round(
             "store": os.path.join(store_dir, cursor["dir"]),
         }
 
+    rebootstrapped = False
+    if (
+        cursor is not None
+        and cursor["version"] < table.earliest_retained_version()
+    ):
+        # diff base expired by vacuum (pre-pin store / manual unpin):
+        # every store advance is fuzz-pinned equivalent to the full
+        # recompute (tests/test_fuzz_incremental.py), so the bootstrap
+        # branch is a CORRECT fallback — just not ∝ diff this once
+        cursor = None
+        rebootstrapped = True
+
     if cursor is None:
         # bootstrap: the whole current corpus arrives as one insert diff
         diff = table.read(spark).select(
@@ -232,6 +244,13 @@ def run_pipeline_round(
     with open(tmp, "w") as f:
         json.dump({"version": cur_m.version, "dir": vdir}, f)
     os.replace(tmp, cursor_path)  # the commit point
+    # retention coordination: pin the version the next round diffs FROM
+    # so the table's vacuum can't expire this pipeline's base
+    from milvus_cdc_spark.plans.manifest import consumer_pin_name
+
+    table.pin_version(
+        consumer_pin_name(store_dir, "pipeline"), cur_m.version
+    )
     for d in os.listdir(store_dir):  # retire superseded store versions
         if d.startswith("v") and d != vdir and os.path.isdir(
             os.path.join(store_dir, d)
@@ -243,4 +262,5 @@ def run_pipeline_round(
         "version": cur_m.version,
         "store": out_root,
         "n_shards": n_shards,
+        "rebootstrapped": rebootstrapped,
     }

@@ -128,6 +128,18 @@ def run_rollup_round(
             "store": os.path.join(store_dir, cursor["dir"]),
         }
 
+    rebootstrapped = False
+    if (
+        cursor is not None
+        and cursor["version"] < table.earliest_retained_version()
+    ):
+        # the diff base was expired by vacuum (pre-pin store, or an
+        # operator unpinned it): a view is a pure function of the
+        # current snapshot, so fall back to the bootstrap full refresh —
+        # correct, just not ∝ diff this once
+        cursor = None
+        rebootstrapped = True
+
     if cursor is None:
         view = agg_fn(table.read(spark))
     else:
@@ -153,6 +165,11 @@ def run_rollup_round(
     with open(tmp, "w") as f:
         json.dump({"version": cur_m.version, "dir": vdir}, f)
     os.replace(tmp, cursor_path)  # the commit point
+    # retention coordination: pin the version the next round diffs FROM
+    # so the table's vacuum can't expire this view's base
+    from milvus_cdc_spark.plans.manifest import consumer_pin_name
+
+    table.pin_version(consumer_pin_name(store_dir, "view"), cur_m.version)
     for d in os.listdir(store_dir):  # retire superseded store versions
         if d.startswith("v") and d != vdir and os.path.isdir(
             os.path.join(store_dir, d)
@@ -162,6 +179,7 @@ def run_rollup_round(
         "skipped": False,
         "version": cur_m.version,
         "n_groups": n_groups,
+        "rebootstrapped": rebootstrapped,
         "store": os.path.join(store_dir, vdir),
     }
 

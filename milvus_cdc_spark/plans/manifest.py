@@ -86,6 +86,15 @@ _SPARK_TYPES = {
 }
 
 
+def consumer_pin_name(root_or_dir: str, kind: str) -> str:
+    """Deterministic retention-pin name for an incremental consumer
+    identified by a filesystem path (cascade target root, publish feed
+    dir, view/pipeline store dir): stable across processes/restarts,
+    filesystem-safe."""
+    h = hashlib.sha1(os.path.abspath(root_or_dir).encode()).hexdigest()[:12]
+    return f"{kind}-{h}"
+
+
 def bag_decode(c: "F.Column", typ: str) -> "F.Column":
     """Decode a dynamic-bag (``map<string,string>``) value into a typed
     column — THE one definition shared by every bag-recovery site (logical
@@ -1254,6 +1263,7 @@ class SnapshotTable:
         return nm
 
     # ---- consumer version pins (retention coordination) ------------------
+    # (naming helper `consumer_pin_name` lives at module level below)
     # An incremental consumer (publish feed, cascade replica, any
     # changes()-based pipeline) is only sound while its diff base's
     # manifest is retained — vacuum expiring it forces a re-bootstrap or,

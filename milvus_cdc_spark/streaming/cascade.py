@@ -22,7 +22,6 @@ schema tracks the source's hop by hop.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 from datetime import datetime, timezone
@@ -33,7 +32,10 @@ from pyspark.sql import functions as F
 
 from milvus_cdc_spark import schemas as S
 from milvus_cdc_spark.operators.apply import apply_batch
-from milvus_cdc_spark.plans.manifest import SnapshotTable
+
+# consumer_pin_name is re-exported here for compatibility — cascade was
+# its original home; the definition lives with the pin store
+from milvus_cdc_spark.plans.manifest import SnapshotTable, consumer_pin_name
 
 # key + bookkeeping columns every transcripts table carries; everything
 # else in the diff is an evolved payload column that rides `extra`
@@ -52,12 +54,6 @@ _FIXED = ("conv_id", "turn_idx", "ts", "part", "lsn")
 _DELETE_LSN_OFFSET = 1 << 62
 
 
-def consumer_pin_name(root_or_dir: str, kind: str) -> str:
-    """Deterministic retention-pin name for an incremental consumer
-    identified by a filesystem path (cascade target root, publish feed
-    dir): stable across processes/restarts, filesystem-safe."""
-    h = hashlib.sha1(os.path.abspath(root_or_dir).encode()).hexdigest()[:12]
-    return f"{kind}-{h}"
 
 
 def changes_to_ops(
@@ -334,6 +330,7 @@ def cascade_until_current(
                 results[-1]["to_version"],
             )
             return results
+    pin = consumer_pin_name(dst.root, "cascade")
     while v < cur:
         nxt = min(cur, v + hop_versions) if hop_versions else cur
         results.append(
@@ -343,7 +340,12 @@ def cascade_until_current(
             )
         )
         v = nxt
-    # retention coordination: record the position this replica will next
-    # diff FROM, so the source's vacuum never expires our base
-    src.pin_version(consumer_pin_name(dst.root, "cascade"), v)
+        # retention coordination: advance the pin PER HOP (not once at
+        # the end) so a crash mid-way through a multi-hop catch-up never
+        # leaves the replica's new base unpinned against vacuum
+        src.pin_version(pin, v)
+    # no-hop call (already caught up): still record/advance the position
+    # this replica will next diff FROM
+    if not results:
+        src.pin_version(pin, v)
     return results

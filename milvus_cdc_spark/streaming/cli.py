@@ -384,10 +384,28 @@ def main(argv: list[str] | None = None) -> int:
         # retention-coordination inspection — Spark-free. Lists each
         # table's consumer pins (who is flooring vacuum, and at which
         # version); --unpin drops a decommissioned consumer's pin.
+        # Pins live on the SOURCE side, so for registered cascade/view/
+        # publish tasks resolve src_table / src_tables_root — the tables
+        # whose vacuum the task's pin actually floors; first-level specs
+        # resolve their own table(s) (downstream consumers pin those).
         from milvus_cdc_spark.plans.manifest import SnapshotTable
+        from milvus_cdc_spark.streaming.registry import _walk_tables
 
+        if a.table:
+            roots = [(os.path.basename(os.path.normpath(a.table)), a.table)]
+        else:
+            spec = _spec_from_args(a, p)
+            if spec.get("src_table"):
+                roots = [(
+                    os.path.basename(os.path.normpath(spec["src_table"])),
+                    spec["src_table"],
+                )]
+            elif spec.get("src_tables_root"):
+                roots = list(_walk_tables(spec["src_tables_root"]))
+            else:
+                roots = _task_table_roots(a, p)
         out = {}
-        for name, root in _task_table_roots(a, p):
+        for name, root in roots:
             t = SnapshotTable(root)
             entry = {"pins": t.pins(), "current": t.current().version}
             if a.unpin:

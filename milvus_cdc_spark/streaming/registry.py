@@ -174,17 +174,30 @@ class TaskRegistry:
 
             shutil.rmtree(spec["checkpoint"], ignore_errors=True)
         # a deleted consumer must stop blocking the source's retention:
-        # drop the pin its cascade/publish rounds kept advancing
-        if spec.get("src_table"):
-            from milvus_cdc_spark.plans.manifest import SnapshotTable
-            from milvus_cdc_spark.streaming.cascade import consumer_pin_name
+        # drop the pin(s) its cascade/publish rounds kept advancing
+        from milvus_cdc_spark.plans.manifest import SnapshotTable
+        from milvus_cdc_spark.streaming.cascade import consumer_pin_name
 
+        if spec.get("src_table"):
             src = SnapshotTable(spec["src_table"])
             if src.exists():
-                target = spec.get("table") or spec.get("publish_out")
-                kind = "publish" if spec.get("publish_out") else "cascade"
-                if target:
-                    src.unpin(consumer_pin_name(target, kind))
+                for target, kind in (
+                    (spec.get("table"), "cascade"),
+                    (spec.get("publish_out"), "publish"),
+                    (spec.get("view_store"), "view"),
+                ):
+                    if target:
+                        src.unpin(consumer_pin_name(target, kind))
+        elif spec.get("src_tables_root"):
+            # multi-cascade: one pin per replicated source table, each
+            # named by its own target root (MultiCascadeTask._pairs)
+            for name, root in _walk_tables(spec["src_tables_root"]):
+                src = SnapshotTable(root)
+                if src.exists():
+                    dst_root = os.path.join(
+                        spec["tables_root"], *name.split(".")
+                    )
+                    src.unpin(consumer_pin_name(dst_root, "cascade"))
         # NOTE: when the checkpoint is kept, the sentinel is deliberately
         # left in place so a STILL-RUNNING process stops at its next poll;
         # create() clears any stale sentinel if the checkpoint is re-used.

@@ -176,3 +176,32 @@ def test_cli_create_stores_constraints(spark, tmp_path):
     spec = TaskRegistry(str(tmp_path / "tasks")).get("gated")
     assert spec["constraints"] == [ROLES, LEN]
     assert spec["on_violation"] == "dlq"
+
+
+def test_quarantine_replay_does_not_duplicate_dlq(spark, tmp_path):
+    """Crash-replay of an epoch that quarantined bad DDL + violations
+    (but no structurally-malformed rows) must land the SAME dlq contents,
+    not append duplicates — the epoch dir is cleared once per run before
+    any quarantine class writes. (Regression: the violation write used
+    'append' whenever n_dlq>0, so a bad-DDL-only epoch never cleared the
+    dir and a replay doubled every violating row.)"""
+    t = _tbl(spark, tmp_path)
+    batch = _mk(spark, [
+        _ev(1, "c1", 1, 1),
+        _ev(2, "c2", 1, 1, role="bot"),  # constraint violation
+        (3, datetime(2024, 1, 1), 0, "ADD_COLUMN", None, None, None, None,
+         None, "not-json", None),        # bad DDL, no malformed DML
+    ])
+    kw = dict(
+        on_malformed="dlq", constraints=[ROLES], on_violation="dlq",
+    )
+    apply_batch(spark, t, batch, 0, **kw)
+    first = dlq_summary_dir(t.dlq_dir)["epoch-0"]
+    assert sum(first.values()) == 2
+    # crash window: epoch's dlq written but the commit "lost" — rollback
+    # reopens the epoch, the replay must overwrite, not double
+    t.rollback(0)
+    res = apply_batch(spark, t, batch, 0, **kw)
+    assert not res.get("skipped")
+    assert dlq_summary_dir(t.dlq_dir)["epoch-0"] == first
+    assert _state(spark, t) == {("c1", 1, "ok")}

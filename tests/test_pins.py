@@ -138,3 +138,115 @@ def test_cli_pins_verb_lists_and_unpins(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     (entry,) = out.values()
     assert entry["unpinned"] is True and entry["pins"] == {}
+
+
+def test_rollup_and_pipeline_rounds_pin_and_rebootstrap(spark, tmp_path):
+    """View/pipeline cursor consumers get the same retention treatment
+    as publish/cascade: each round pins its base (vacuum can't expire
+    it), and an UNPINNED store whose base did expire falls back to the
+    bootstrap full refresh — correct because every incremental store is
+    fuzz-pinned equivalent to the full recompute."""
+    from milvus_cdc_spark.operators.pipeline import run_pipeline_round
+    from milvus_cdc_spark.operators.rollup import run_rollup_round
+    from milvus_cdc_spark.plans.manifest import consumer_pin_name
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    log = generate_changelog(spark, 400, evolve=False, drops=False,
+                             delete_pct=10)
+    _grow(spark, t, 0, 100, 0, log)
+    view_store = str(tmp_path / "view")
+    pipe_store = str(tmp_path / "pipe")
+    r1 = run_rollup_round(spark, t, view_store)
+    p1 = run_pipeline_round(spark, t, pipe_store)
+    vpin = consumer_pin_name(view_store, "view")
+    ppin = consumer_pin_name(pipe_store, "pipeline")
+    assert t.pins()[vpin] == r1["version"] == 1
+    assert t.pins()[ppin] == p1["version"] == 1
+    # pinned: aggressive vacuum keeps the base; the next round is
+    # incremental, not a rebootstrap
+    _grow(spark, t, 100, 200, 1, log)
+    t.vacuum(keep_versions=1, min_age_sec=0)
+    assert t.earliest_retained_version() == 1
+    r2 = run_rollup_round(spark, t, view_store)
+    p2 = run_pipeline_round(spark, t, pipe_store)
+    assert not r2["rebootstrapped"] and not p2["rebootstrapped"]
+    # unpinned + expired base: the round REBOOTSTRAPS instead of crashing,
+    # and the rebuilt view equals the direct full recompute
+    t.unpin(vpin)
+    t.unpin(ppin)
+    _grow(spark, t, 200, 300, 2, log)
+    t.vacuum(keep_versions=1, min_age_sec=0)
+    assert t.earliest_retained_version() == t.current().version
+    r3 = run_rollup_round(spark, t, view_store)
+    p3 = run_pipeline_round(spark, t, pipe_store)
+    assert r3["rebootstrapped"] and p3["rebootstrapped"]
+    from milvus_cdc_spark.operators.rollup import conv_rollup
+
+    got = sorted(map(tuple, spark.read.parquet(
+        os.path.join(r3["store"], "view")).collect()))
+    want = sorted(map(tuple, conv_rollup(t.read(spark)).collect()))
+    assert got == want
+    # and the rounds re-pinned themselves
+    assert t.pins()[vpin] == t.pins()[ppin] == t.current().version
+
+
+def test_multi_cascade_delete_unpins_every_source_table(spark, tmp_path):
+    """Deleting a multi-cascade task drops the pin on EVERY source table
+    of the tree (regression: only single-src_table specs were unpinned,
+    so tree pins floored vacuum forever)."""
+    from milvus_cdc_spark.streaming.engine import MultiCascadeTask
+    from milvus_cdc_spark.plans.manifest import consumer_pin_name
+    from milvus_cdc_spark.streaming.registry import TaskRegistry
+
+    src_root = tmp_path / "srcs"
+    for name in ("ta", "tb"):
+        t = SnapshotTable(str(src_root / name))
+        t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+        _grow(spark, t, 0, 100, 0)
+    dst_root = str(tmp_path / "dsts")
+    task = MultiCascadeTask(
+        spark, str(src_root), dst_root, str(tmp_path / "ck"),
+    )
+    task.start(available_now=True)
+    assert task.wait_drained(180)
+    for name in ("ta", "tb"):
+        src = SnapshotTable(str(src_root / name))
+        pin = consumer_pin_name(os.path.join(dst_root, name), "cascade")
+        assert src.pins().get(pin) == src.current().version, name
+    reg = TaskRegistry(str(tmp_path / "tasks"))
+    reg.create("mc", {
+        "src_tables_root": str(src_root), "tables_root": dst_root,
+        "checkpoint": str(tmp_path / "ck"),
+    })
+    reg.delete("mc")
+    for name in ("ta", "tb"):
+        assert SnapshotTable(str(src_root / name)).pins() == {}, name
+
+
+def test_cli_pins_verb_resolves_registered_task_sources(spark, tmp_path, capsys):
+    """'pins --name X' for a publish task inspects the SOURCE table (the
+    pin lives there), not the feed (regression: it KeyError'd on
+    tables_root / inspected the cascade target)."""
+    from milvus_cdc_spark.streaming.cli import main
+    from milvus_cdc_spark.plans.manifest import consumer_pin_name
+    from milvus_cdc_spark.streaming.publish import publish_round
+    from milvus_cdc_spark.streaming.registry import TaskRegistry
+
+    t = SnapshotTable(str(tmp_path / "src"))
+    t.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    _grow(spark, t, 0, 100, 0)
+    feed = str(tmp_path / "feed")
+    publish_round(spark, t, feed)
+    reg = TaskRegistry(str(tmp_path / "tasks"))
+    reg.create("p1", {
+        "src_table": t.root, "publish_out": feed,
+        "checkpoint": str(tmp_path / "ck"),
+    })
+    rc = main(["pins", "--name", "p1", "--tasks-dir", str(tmp_path / "tasks")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    (entry,) = out.values()
+    assert entry["pins"] == {
+        consumer_pin_name(feed, "publish"): t.current().version
+    }
