@@ -252,6 +252,23 @@ class TaskRegistry:
             if isinstance(spec_or_name, dict)
             else self.get(spec_or_name)
         )
+        def _src_pin(target: str | None, kind: str) -> int | None:
+            """The retention pin this consumer holds on its source table
+            (Spark-free file read) — lets an operator see from `position`
+            which version the source's vacuum is floored at for them."""
+            if not target or not spec.get("src_table"):
+                return None
+            from milvus_cdc_spark.plans.manifest import consumer_pin_name
+
+            p = os.path.join(
+                spec["src_table"], "meta", "pins",
+                f"{consumer_pin_name(target, kind)}.json",
+            )
+            if not os.path.exists(p):
+                return None
+            with open(p) as f:
+                return int(json.load(f)["version"])
+
         out: dict[str, Any] = {"name": spec.get("name")}
         commits_dir = os.path.join(spec["checkpoint"], "commits")
         batches = (
@@ -296,6 +313,9 @@ class TaskRegistry:
                     out["src_version"] = src_v
                     out["replicated_src_version"] = pos
                     out["versions_behind"] = max(0, src_v - int(pos))
+                pin = _src_pin(spec.get("table"), "cascade")
+                if pin is not None:
+                    out["retention_pin"] = pin
         elif spec.get("view_store"):
             # view-task position: run_rollup_round's cursor is the last
             # materialized source version; versions_behind is the
@@ -312,6 +332,9 @@ class TaskRegistry:
                     src_v = int(f.read().strip())
                 out["src_version"] = src_v
                 out["versions_behind"] = max(0, src_v - pos)
+            pin = _src_pin(spec.get("view_store"), "view")
+            if pin is not None:
+                out["retention_pin"] = pin
         elif spec.get("publish_out"):
             # publish-task position: publish_round's cursor is the last
             # published source version; versions_behind is feed staleness
@@ -328,6 +351,9 @@ class TaskRegistry:
                     src_v = int(f.read().strip())
                 out["src_version"] = src_v
                 out["versions_behind"] = max(0, src_v - pos)
+            pin = _src_pin(spec.get("publish_out"), "publish")
+            if pin is not None:
+                out["retention_pin"] = pin
         elif spec.get("tables_root"):
             out["tables"] = {}
             for name, root in sorted(_walk_tables(spec["tables_root"])):

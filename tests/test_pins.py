@@ -250,3 +250,27 @@ def test_cli_pins_verb_resolves_registered_task_sources(spark, tmp_path, capsys)
     assert entry["pins"] == {
         consumer_pin_name(feed, "publish"): t.current().version
     }
+
+
+def test_position_reports_retention_pin(spark, tmp_path):
+    """Spark-free `position` surfaces the retention pin a cascade or
+    publish task holds on its source — the operator sees which version
+    floors the source's vacuum without a separate pins call."""
+    from milvus_cdc_spark.streaming.registry import TaskRegistry
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    src.create(S.TRANSCRIPTS_BASE_COLUMNS, n_buckets=4)
+    _grow(spark, src, 0, 100, 0)
+    feed = str(tmp_path / "feed")
+    publish_round(spark, src, feed)
+    dst = SnapshotTable(str(tmp_path / "dst"))
+    create_target_like(src, dst)
+    cascade_until_current(spark, src, dst, 0)
+    reg = TaskRegistry(str(tmp_path / "tasks"))
+    reg.create("p1", {"src_table": src.root, "publish_out": feed,
+                      "checkpoint": str(tmp_path / "ckp")})
+    reg.create("c1", {"src_table": src.root, "table": dst.root,
+                      "checkpoint": str(tmp_path / "ckc")})
+    cur = src.current().version
+    assert reg.position("p1")["retention_pin"] == cur
+    assert reg.position("c1")["retention_pin"] == cur
