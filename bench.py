@@ -38,6 +38,27 @@ BENCH_QUERIES = [
 ]
 
 
+def _state_fingerprint(df):
+    """Order-insensitive (hash-sum, row-count) fingerprint of a table
+    state — one aggregate job, no driver materialization."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(df.columns)
+    r = (
+        df.select(
+            F.xxhash64(
+                *[F.col(c).cast("string") for c in cols]
+            ).alias("h")
+        )
+        .agg(
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    return (int(r["s"] or 0), int(r["n"]))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -124,11 +145,16 @@ def main() -> None:
     mor_sec = min(mor_reps)
     mor_rows = mtask.table.read(spark).count()
 
-    # partial-update twin (single rep, additive side metric — the headline
-    # workload above stays byte-identical round-over-round): same event
-    # count with 15% OP_PATCH events, drained CoW. Exercises the
-    # per-column-ordinal merge (compose_patch_actions +
-    # merge_patched_actions) at bench scale.
+    # partial-update twin: same event count with 15% OP_PATCH events,
+    # drained CoW. Exercises the per-column-ordinal merge
+    # (compose_patch_actions + merge_patched_actions) at bench scale.
+    # SELF-CHECKING: the two reps run at DIFFERENT trigger caps and the
+    # final states must hash-equal — patch apply is read-modify-write, so
+    # any batching dependence (the round-4 WAL-ordering bug) shows up as
+    # patch_state_match=false instead of silently benchmarking a wrong
+    # state. The changelog writer's parallel tasks give the files
+    # effectively random mtimes, so this also exercises the WAL gate's
+    # out-of-order delivery path, not just a happy in-order drain.
     patch_log = os.path.join(work, "plog")
     write_changelog(
         generate_changelog(
@@ -139,19 +165,22 @@ def main() -> None:
         n_files=16,
     )
     patch_reps = []
-    for rep in range(2):
+    patch_states = []
+    for rep, mft in enumerate((8, 3)):
         t0 = time.time()
         ptask = run_until_drained(
             spark,
             patch_log,
             os.path.join(work, f"table_patch{rep}"),
             os.path.join(work, f"ckpt_patch{rep}"),
-            max_files_per_trigger=8,
+            max_files_per_trigger=mft,
             n_buckets=16,
         )
         patch_reps.append(time.time() - t0)
+        patch_states.append(_state_fingerprint(ptask.table.read(spark)))
     patch_sec = min(patch_reps)
-    patch_rows = ptask.table.read(spark).count()
+    patch_rows = patch_states[0][1]
+    patch_state_match = patch_states[0] == patch_states[1]
     shutil.rmtree(work, ignore_errors=True)
 
     # ---- representative queries (best of 2 for the same reason) ----------
@@ -191,6 +220,7 @@ def main() -> None:
                     "patch_apply_sec_reps": [round(x, 3) for x in patch_reps],
                     "patch_events_per_sec": round(n_events / patch_sec, 1),
                     "patch_final_rows": patch_rows,
+                    "patch_state_match": patch_state_match,
                     "cpus": cpus,
                 },
             }

@@ -218,14 +218,18 @@ class _TaskLifecycle:
         protect = protect or FailProtect()
         deadline = time.time() + timeout_sec
         while True:
-            if self.query is None or not self.query.isActive:
-                # a query left over from a PREVIOUS completed drain is
-                # terminated — holding onto it would make an in-process
-                # re-drain return instantly without reading anything new;
-                # restarting is free when there is nothing to do (the
-                # availableNow run sees no new input and stops)
-                self.start(available_now=True)
             try:
+                if self.query is None or not self.query.isActive:
+                    # a query left over from a PREVIOUS completed drain is
+                    # terminated — holding onto it would make an in-process
+                    # re-drain return instantly without reading anything
+                    # new; restarting is free when there is nothing to do
+                    # (the availableNow run sees no new input and stops).
+                    # Inside the try: start() itself can now fail — the
+                    # WAL gate replays a crash-parked intent there, and a
+                    # poison group must route into fail-protect like any
+                    # other batch failure.
+                    self.start(available_now=True)
                 while True:
                     remaining = deadline - time.time()
                     if remaining <= 0:
@@ -306,6 +310,7 @@ class CdcTask(_TaskLifecycle):
         on_violation: str = "fail",
         source: str = "parquet",
         history_path: str | None = None,
+        wal_order: bool = True,
     ):
         if source not in ("parquet", "debezium"):
             raise ValueError(
@@ -325,6 +330,13 @@ class CdcTask(_TaskLifecycle):
         # Debezium envelopes, normalized to the same schema at the scan
         # (sources/debezium.py) — everything downstream is identical
         self.source = source
+        # WAL-regime batch formation (streaming/wal.py): files apply in
+        # lsn order regardless of the file-stream source's mtime-ordered
+        # delivery — REQUIRED for OP_PATCH correctness (a patch must not
+        # commit before its anchor's epoch, schemas.OP_PATCH). Default on;
+        # wal_order=False restores raw stream batching for logs known to
+        # be order-insensitive (no patches) with non-WAL producers.
+        self.wal_order = wal_order
         # Debezium schema-change topic directory: re-decoded IN FULL each
         # trigger (history topics are DDL-scale; decoding needs every
         # table's previous column state) and unioned into the batch —
@@ -347,18 +359,83 @@ class CdcTask(_TaskLifecycle):
         # Iceberg terms this is rewrite_data_files on a file-count trigger)
         self.auto_compact_files = auto_compact_files
         self._init_lifecycle(checkpoint_dir)
+        self._gate = None
+        if self.wal_order:
+            from milvus_cdc_spark.streaming.wal import WalGate
+
+            self._gate = WalGate(
+                changelog_path,
+                os.path.join(checkpoint_dir, "wal_ledger.json"),
+                # debezium topic dumps carry no parquet footers; their
+                # files are named in topic order, so name order IS lsn
+                # order (documented producer contract)
+                order="lsn" if self.source == "parquet" else "name",
+            )
+
+    # -- the re-rooted plain-reader apply ---------------------------------
+    def _apply_files(self, files: list[str], epoch: int) -> None:
+        """Apply one file-group as one epoch. The plain batch reader is a
+        deliberate re-root: the FileStreamSource's relation bypasses the
+        vectorized-scan fast path (measured 4-13x per-row CPU inflation on
+        map columns), while the file list IS the group's exact,
+        checkpoint-replayable identity — a pure physical swap with
+        identical contents and semantics."""
+        if self.source == "debezium":
+            from milvus_cdc_spark.sources.debezium import _normalize
+
+            batch_df = _normalize(self.spark.read.text(*files))
+        else:
+            from milvus_cdc_spark.schemas import CHANGELOG_SCHEMA
+
+            batch_df = self.spark.read.schema(CHANGELOG_SCHEMA).parquet(*files)
+        batch_df = _union_history(self.spark, batch_df, self.history_path)
+        apply_batch(
+            self.spark,
+            self.table,
+            batch_df,
+            epoch,
+            salt_partitions=self.salt_partitions,
+            on_malformed=self.on_malformed,
+            constraints=self.constraints,
+            on_violation=self.on_violation,
+        )
+
+    def _gate_tick(self, delivered: list[str]) -> None:
+        """Stage newly-delivered files, resolve any crash intent, apply
+        every applicable group in lsn order. Runs inside foreachBatch and
+        once at start() so a crash-parked intent or backlog drains even
+        when the stream has nothing new to deliver."""
+        self._gate.stage(delivered)
+        it = self._gate.intent()
+        if it is not None:
+            ep, grp = it
+            # idempotent: a group whose epoch already committed is skipped
+            # by the manifest gate; otherwise this is the crash replay
+            self._apply_files(grp, ep)
+            self._gate.done(ep, grp)
+        for ep, grp in self._gate.groups(self.max_files_per_trigger):
+            self._gate.begin(ep, grp)
+            self._apply_files(grp, ep)
+            self._gate.done(ep, grp)
 
     # -- lifecycle (reference C1-C4, server/cdc_api.go:26-36) -------------
     def start(self, available_now: bool = False):
+        from milvus_cdc_spark.streaming.wal import delivered_files, local_path
+
+        if self._gate is not None:
+            # drain any crash-parked intent/backlog before the stream runs
+            self._gate_tick([])
+
         def _apply(batch_df, epoch_id: int):
-            # Re-root the micro-batch onto the plain batch parquet reader:
-            # the FileStreamSource's relation bypasses the vectorized-scan
-            # fast path (measured 4-13x per-row CPU inflation on map
-            # columns), while the file list IS the batch's exact,
-            # checkpoint-replayable identity — so this is a pure physical
-            # swap with identical contents and semantics.
+            if self._gate is not None:
+                files = delivered_files(self.checkpoint_dir, epoch_id)
+                if files is None:
+                    files = [local_path(u) for u in batch_df.inputFiles()]
+                self._gate_tick(files)
+                self._maybe_compact(self.table)
+                return
             files = batch_df.inputFiles()
-            if files:
+            if files:  # ungated legacy path: re-root, apply as delivered
                 if self.source == "debezium":
                     from milvus_cdc_spark.sources.debezium import _normalize
 
@@ -409,12 +486,17 @@ class CdcTask(_TaskLifecycle):
 
     def _status_extra(self) -> dict[str, Any]:
         m = self.table.current()
-        return {
+        out = {
             "snapshot_id": m.snapshot_id,
             "table_version": m.version,
             "epochs_committed": len(m.epochs),
             "summary": m.summary,
         }
+        if self._gate is not None:
+            # files the stream delivered that the WAL gate is still
+            # holding for an earlier-lsn file (0 on a drained log)
+            out["wal_pending_files"] = self._gate.pending()
+        return out
 
 
 class CollectionFilter:
@@ -544,6 +626,7 @@ class MultiCdcTask(_TaskLifecycle):
         on_violation: str = "fail",
         source: str = "parquet",
         history_path: str | None = None,
+        wal_order: bool = True,
     ):
         if source not in ("parquet", "debezium"):
             raise ValueError(
@@ -573,6 +656,16 @@ class MultiCdcTask(_TaskLifecycle):
         self.max_concurrency = max_concurrency
         self.tables: dict[str, SnapshotTable] = {}
         self._init_lifecycle(checkpoint_dir)
+        self.wal_order = wal_order
+        self._gate = None
+        if wal_order:  # see CdcTask: lsn-ordered batch formation
+            from milvus_cdc_spark.streaming.wal import WalGate
+
+            self._gate = WalGate(
+                changelog_path,
+                os.path.join(checkpoint_dir, "wal_ledger.json"),
+                order="lsn" if source == "parquet" else "name",
+            )
 
     # -- naming / namespaces ----------------------------------------------
     def _table_path(self, name: str) -> str:
@@ -802,8 +895,54 @@ class MultiCdcTask(_TaskLifecycle):
                     f"first = {name}"
                 ) from err
 
+    def _apply_files(self, files: list[str], epoch: int) -> None:
+        """One file-group → one apply_multi epoch (plain-reader re-root,
+        see CdcTask._apply_files)."""
+        if self.source == "debezium":
+            from milvus_cdc_spark.sources.debezium import _normalize
+
+            batch_df = _normalize(
+                self.spark.read.text(*files), multi_table=True
+            )
+        else:
+            from milvus_cdc_spark.schemas import MULTI_CHANGELOG_SCHEMA
+
+            batch_df = self.spark.read.schema(
+                MULTI_CHANGELOG_SCHEMA
+            ).parquet(*files)
+        batch_df = _union_history(
+            self.spark, batch_df, self.history_path, multi_table=True
+        )
+        self.apply_multi(batch_df, epoch)
+
+    def _gate_tick(self, delivered: list[str]) -> None:
+        """Identical protocol to CdcTask._gate_tick; apply_multi is
+        idempotent per (table, epoch), which is what makes the intent
+        replay safe."""
+        self._gate.stage(delivered)
+        it = self._gate.intent()
+        if it is not None:
+            ep, grp = it
+            self._apply_files(grp, ep)
+            self._gate.done(ep, grp)
+        for ep, grp in self._gate.groups(self.max_files_per_trigger):
+            self._gate.begin(ep, grp)
+            self._apply_files(grp, ep)
+            self._gate.done(ep, grp)
+
     def start(self, available_now: bool = False):
+        from milvus_cdc_spark.streaming.wal import delivered_files, local_path
+
+        if self._gate is not None:
+            self._gate_tick([])
+
         def _apply(batch_df, epoch_id: int):
+            if self._gate is not None:
+                files = delivered_files(self.checkpoint_dir, epoch_id)
+                if files is None:
+                    files = [local_path(u) for u in batch_df.inputFiles()]
+                self._gate_tick(files)
+                return
             files = batch_df.inputFiles()
             if files:  # same plain-reader re-root as CdcTask.start
                 if self.source == "debezium":

@@ -180,7 +180,12 @@ def test_position_reports_offsets_and_lineage(spark, tmp_path):
     pos = reg.position("p1")
     assert pos["last_committed_batch"] >= 1
     assert pos["source_offsets"], pos
-    assert pos["table"]["epochs_committed"] == pos["last_committed_batch"] + 1
+    # The WAL gate decouples table epochs from Spark batch ids: a trigger
+    # whose files are blocked behind an undelivered lower-lsn file commits
+    # nothing, and a later trigger drains the backlog as several groups —
+    # so epoch count is >=1 and bounded by the file count, not tied 1:1
+    # to last_committed_batch.
+    assert pos["table"]["epochs_committed"] >= 1
     ends = pos["applied_end_lsn_per_part"]
     assert ends and max(ends.values()) == 799  # highest applied offset
 

@@ -192,6 +192,73 @@ def test_fuzz_patch_stream_converges(spark, tmp_path, seed):
         log.unpersist()
 
 
+@pytest.mark.parametrize("seed", [51, 52])
+def test_fuzz_patch_scattered_delivery_through_real_task(
+    spark, tmp_path, seed
+):
+    """Scattered-delivery fuzz of OP_PATCH through the REAL streaming
+    engine: random knobs, random file count, adversarially shuffled file
+    mtimes (the file source's delivery order), random trigger cap — the
+    WAL gate (streaming/wal.py) must re-form lsn-ordered batches and land
+    exactly on the sequential oracle. This is the end-to-end pin for the
+    round-4 finding that mtime-ordered batching produced batching-
+    dependent wrong states."""
+    import os
+
+    from milvus_cdc_spark.sources.changelog_gen import write_changelog
+    from milvus_cdc_spark.streaming.engine import run_until_drained
+
+    rng = random.Random(seed)
+    n = rng.randrange(2000, 4000)
+    knobs = dict(
+        seed=seed,
+        ties_group=1,
+        patch_pct=rng.choice([15, 30]),
+        delete_pct=rng.choice([5, 20]),
+        upsert_pct=rng.choice([20, 50]),
+        n_convs=rng.choice([20, 80]),
+        evolve=rng.random() < 0.7,
+        drops=rng.random() < 0.6,
+        num_partitions=4,
+    )
+    log_df = generate_changelog(spark, n, **knobs).cache()
+    try:
+        events = [r.asDict() for r in log_df.collect()]
+        assert any(e["op"] == S.OP_PATCH for e in events), "no patches drawn"
+        want_rows, want_cols = replay(events)
+
+        log = str(tmp_path / f"log{seed}")
+        write_changelog(log_df, log, n_files=rng.choice([6, 10]))
+        files = sorted(
+            f for f in os.listdir(log) if not f.startswith((".", "_"))
+        )
+        order = list(range(len(files)))
+        rng.shuffle(order)
+        base = 1_600_000_000
+        for f, rank in zip(files, order):
+            p = os.path.join(log, f)
+            os.utime(p, (base + rank * 11, base + rank * 11))
+
+        task = run_until_drained(
+            spark, log,
+            str(tmp_path / f"table{seed}"), str(tmp_path / f"ckpt{seed}"),
+            max_files_per_trigger=rng.choice([1, 2, 3]),
+            n_buckets=rng.choice([4, 8]),
+            write_mode=rng.choice(["cow", "mor"]),
+        )
+        df = task.table.read(spark)
+        cols = sorted(df.columns)
+        assert cols == sorted(want_cols), (knobs, cols, want_cols)
+        got = sorted(tuple(r[c] for c in cols) for r in df.collect())
+        want = sorted(tuple(r[c] for c in cols) for r in want_rows)
+        assert got == want, (
+            f"seed={seed} knobs={knobs} delivery={order}: "
+            f"{len(got)} vs {len(want)} rows"
+        )
+    finally:
+        log_df.unpersist()
+
+
 @pytest.mark.parametrize("seed", [41, 42, 43])
 def test_fuzz_rollback_replay_converges(spark, tmp_path, seed):
     """Random rollbacks interleaved with out-of-order epochs: roll the
