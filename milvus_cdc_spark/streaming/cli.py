@@ -58,6 +58,21 @@ def _csv(v: str | None) -> list[str] | None:
     return [s for s in (x.strip() for x in v.split(",")) if s]
 
 
+def _kafka_options(a) -> dict | None:
+    """--kafka-* flags → the engine's kafka_options dict (None unless
+    --source kafka, so file-source tasks never carry the key)."""
+    if getattr(a, "source", None) != "kafka":
+        return None
+    ko: dict = {"bootstrap_servers": a.kafka_bootstrap}
+    if a.kafka_value_format != "native":
+        ko["value_format"] = a.kafka_value_format
+    if a.kafka_starting_offsets != "earliest":
+        ko["starting_offsets"] = a.kafka_starting_offsets
+    if a.kafka_max_offsets:
+        ko["max_offsets_per_trigger"] = a.kafka_max_offsets
+    return ko
+
+
 def _reject_ambiguous_src_table_mode(a, p) -> None:
     """--src-table's task kind is picked by exactly ONE companion flag;
     a second one would silently win by branch order (e.g. --out beating
@@ -197,6 +212,7 @@ def _build_task(spark, spec, a):
     )
     kw["source"] = spec.get("source", a.source)
     kw["history_path"] = spec.get("history", a.history)
+    kw["kafka_options"] = spec.get("kafka_options") or _kafka_options(a)
     if spec.get("tables_root"):
         return MultiCdcTask(
             spark,
@@ -306,12 +322,29 @@ def main(argv: list[str] | None = None) -> int:
                         "decoded into ADD/WIDEN_COLUMN events and unioned "
                         "into every trigger (idempotent re-apply) — live "
                         "DDL for --source debezium tasks")
-    p.add_argument("--source", choices=["parquet", "debezium"],
+    p.add_argument("--source", choices=["parquet", "debezium", "kafka"],
                    default="parquet",
-                   help="changelog encoding: native parquet files, or "
+                   help="changelog encoding: native parquet files, "
                         "Debezium-envelope JSON lines (before/after/op/"
                         "source.lsn, normalized at the scan — "
-                        "sources/debezium.py)")
+                        "sources/debezium.py), or a Kafka topic "
+                        "(--log names the topic; needs --kafka-bootstrap "
+                        "and the spark-sql-kafka connector on the "
+                        "classpath — sources/kafka.py)")
+    p.add_argument("--kafka-bootstrap", default=None,
+                   help="kafka.bootstrap.servers for --source kafka")
+    p.add_argument("--kafka-value-format", choices=["native", "debezium"],
+                   default="native",
+                   help="Kafka record-value encoding: native changelog "
+                        "JSON (lsn/part default to offset/partition) or "
+                        "Debezium envelopes")
+    p.add_argument("--kafka-starting-offsets", default="earliest",
+                   help="startingOffsets for a FRESH checkpoint "
+                        "(earliest|latest|per-partition JSON); resume "
+                        "always follows the checkpointed offsets")
+    p.add_argument("--kafka-max-offsets", type=int, default=None,
+                   help="maxOffsetsPerTrigger — the Kafka pacing knob "
+                        "(files sources use --max-files-per-trigger)")
     p.add_argument("--on-malformed", choices=["fail", "dlq"], default="fail",
                    help="poison events (null key/lsn/ts, unparseable "
                         "ddl_arg): 'fail' pauses the task before anything "
@@ -725,6 +758,7 @@ def main(argv: list[str] | None = None) -> int:
                 "on_violation": a.on_violation,
                 "source": a.source,
                 "history": a.history,
+                "kafka_options": _kafka_options(a),
             }
             if a.table:
                 spec_fields["table"] = a.table

@@ -88,6 +88,27 @@ def _union_history(
     )
 
 
+def _kafka_stream(
+    spark, changelog_path: str, kafka_options: dict, multi_table: bool
+):
+    """Build the decoded Kafka changelog stream from a task's options.
+    The topic defaults to ``changelog_path`` so registry specs keep one
+    'log' field across all sources."""
+    from milvus_cdc_spark.sources.kafka import read_kafka_stream
+
+    ko = dict(kafka_options)
+    return read_kafka_stream(
+        spark,
+        ko.pop("bootstrap_servers"),
+        ko.pop("topic", None) or changelog_path,
+        value_format=ko.pop("value_format", "native"),
+        multi_table=multi_table,
+        starting_offsets=ko.pop("starting_offsets", "earliest"),
+        max_offsets_per_trigger=ko.pop("max_offsets_per_trigger", None),
+        options=ko,
+    )
+
+
 class _TaskLifecycle:
     """Shared task lifecycle: start/pause/resume/drain + persisted status.
 
@@ -311,16 +332,28 @@ class CdcTask(_TaskLifecycle):
         source: str = "parquet",
         history_path: str | None = None,
         wal_order: bool = True,
+        kafka_options: dict | None = None,
     ):
-        if source not in ("parquet", "debezium"):
+        if source not in ("parquet", "debezium", "kafka"):
             raise ValueError(
-                f"source must be 'parquet' or 'debezium', got {source!r}"
+                "source must be 'parquet', 'debezium', or 'kafka', got "
+                f"{source!r}"
             )
         if history_path and source != "debezium":
             raise ValueError(
                 "history_path only applies to source='debezium' (the "
-                "native parquet changelog carries DDL inline)"
+                "native parquet/kafka changelogs carry DDL inline)"
             )
+        if source == "kafka":
+            if not (kafka_options or {}).get("bootstrap_servers"):
+                raise ValueError(
+                    "source='kafka' requires kafka_options="
+                    "{'bootstrap_servers': ..., [topic/value_format/"
+                    "starting_offsets/max_offsets_per_trigger/...]}; the "
+                    "topic defaults to changelog_path"
+                )
+        elif kafka_options:
+            raise ValueError("kafka_options only applies to source='kafka'")
         self.spark = spark
         self.changelog_path = changelog_path
         self.on_malformed = on_malformed
@@ -328,15 +361,23 @@ class CdcTask(_TaskLifecycle):
         self.on_violation = on_violation
         # 'parquet' = native changelog files; 'debezium' = JSON-lines
         # Debezium envelopes, normalized to the same schema at the scan
-        # (sources/debezium.py) — everything downstream is identical
+        # (sources/debezium.py); 'kafka' = an MQ topic decoded at the
+        # value column (sources/kafka.py — the reference's own source
+        # shape, core/reader/stream_creator.go:39-159) — everything
+        # downstream is identical
         self.source = source
+        self.kafka_options = dict(kafka_options or {})
         # WAL-regime batch formation (streaming/wal.py): files apply in
         # lsn order regardless of the file-stream source's mtime-ordered
         # delivery — REQUIRED for OP_PATCH correctness (a patch must not
         # commit before its anchor's epoch, schemas.OP_PATCH). Default on;
         # wal_order=False restores raw stream batching for logs known to
-        # be order-insensitive (no patches) with non-WAL producers.
-        self.wal_order = wal_order
+        # be order-insensitive (no patches) with non-WAL producers. Not
+        # applicable to Kafka: the broker already delivers each partition
+        # in order (the reference's per-channel contract) and there are no
+        # files to re-form — run patch-carrying topics single-partition or
+        # conv_id-keyed (sources/kafka.py ordering contract).
+        self.wal_order = wal_order and source != "kafka"
         # Debezium schema-change topic directory: re-decoded IN FULL each
         # trigger (history topics are DDL-scale; decoding needs every
         # table's previous column state) and unioned into the batch —
@@ -466,6 +507,11 @@ class CdcTask(_TaskLifecycle):
 
             stream = read_debezium_stream(
                 self.spark, self.changelog_path, self.max_files_per_trigger
+            )
+        elif self.source == "kafka":
+            stream = _kafka_stream(
+                self.spark, self.changelog_path, self.kafka_options,
+                multi_table=False,
             )
         else:
             stream = read_changelog_stream(
@@ -627,22 +673,33 @@ class MultiCdcTask(_TaskLifecycle):
         source: str = "parquet",
         history_path: str | None = None,
         wal_order: bool = True,
+        kafka_options: dict | None = None,
     ):
-        if source not in ("parquet", "debezium"):
+        if source not in ("parquet", "debezium", "kafka"):
             raise ValueError(
-                f"source must be 'parquet' or 'debezium', got {source!r}"
+                "source must be 'parquet', 'debezium', or 'kafka', got "
+                f"{source!r}"
             )
         if history_path and source != "debezium":
             raise ValueError(
                 "history_path only applies to source='debezium' (the "
-                "native parquet changelog carries DDL inline)"
+                "native parquet/kafka changelogs carry DDL inline)"
             )
+        if source == "kafka":
+            if not (kafka_options or {}).get("bootstrap_servers"):
+                raise ValueError(
+                    "source='kafka' requires kafka_options with "
+                    "'bootstrap_servers' (topic defaults to changelog_path)"
+                )
+        elif kafka_options:
+            raise ValueError("kafka_options only applies to source='kafka'")
         self.spark = spark
         self.changelog_path = changelog_path
         self.on_malformed = on_malformed
         self.constraints = list(constraints or [])
         self.on_violation = on_violation
         self.source = source
+        self.kafka_options = dict(kafka_options or {})
         # schema-change topic dir (see CdcTask) — decoded multi_table so
         # each event routes to its collection
         self.history_path = history_path
@@ -656,9 +713,9 @@ class MultiCdcTask(_TaskLifecycle):
         self.max_concurrency = max_concurrency
         self.tables: dict[str, SnapshotTable] = {}
         self._init_lifecycle(checkpoint_dir)
-        self.wal_order = wal_order
+        self.wal_order = wal_order and source != "kafka"
         self._gate = None
-        if wal_order:  # see CdcTask: lsn-ordered batch formation
+        if self.wal_order:  # see CdcTask: lsn-ordered batch formation
             from milvus_cdc_spark.streaming.wal import WalGate
 
             self._gate = WalGate(
@@ -969,6 +1026,11 @@ class MultiCdcTask(_TaskLifecycle):
                 self.spark,
                 self.changelog_path,
                 self.max_files_per_trigger,
+                multi_table=True,
+            )
+        elif self.source == "kafka":
+            stream = _kafka_stream(
+                self.spark, self.changelog_path, self.kafka_options,
                 multi_table=True,
             )
         else:
