@@ -763,14 +763,16 @@ def apply_batch(
     n_violation = sum(r["n_violation"] for r in per_part)
     n_dlq = n_malformed + len(bad_ddl)
     dlq_dir = os.path.join(table.root, "dlq", f"epoch-{epoch}")
-    if (n_dlq and on_malformed == "dlq") or (
-        n_violation and on_violation == "dlq"
-    ):
+    if on_malformed == "dlq" or on_violation == "dlq":
         # crash-replay idempotence for the WHOLE epoch quarantine: clear
         # the epoch dir ONCE up front, then every writer (malformed spark
         # write, bad-DDL pyarrow file, violation spark write) appends —
         # any mode('overwrite') here would wipe a sibling quarantine
-        # class written earlier in the same run
+        # class written earlier in the same run. Cleared whenever the
+        # epoch (re)applies in a dlq mode — not only when THIS run
+        # quarantines — so a crashed quarantining run followed by a clean
+        # re-run (constraints relaxed / data fixed) cannot leave stale
+        # epoch-N contents inflating dlq_summary
         shutil.rmtree(dlq_dir, ignore_errors=True)
     if n_dlq:
         if on_malformed != "dlq":

@@ -47,8 +47,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import shutil
-import tempfile
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -266,10 +264,15 @@ class SnapshotTable:
         self.root = root
         self.meta_dir = os.path.join(root, "meta")
         self.data_dir = os.path.join(root, "data")
+        # every manifest/pins/DLQ byte goes through this (plans/fs.py):
+        # POSIX here; the object-store verb mapping is specified there
+        from milvus_cdc_spark.plans.fs import get_fs
+
+        self.fs = get_fs(root)
 
     # -- lifecycle -------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.meta_dir, "CURRENT"))
+        return self.fs.exists(os.path.join(self.meta_dir, "CURRENT"))
 
     def create(
         self,
@@ -297,9 +300,9 @@ class SnapshotTable:
                 # idempotent create (reference skip-if-exists,
                 # milvus_handler.go:119-125)
                 return self.current()
-            shutil.rmtree(self.root)
-        os.makedirs(self.meta_dir, exist_ok=True)
-        os.makedirs(self.data_dir, exist_ok=True)
+            self.fs.rmtree(self.root)
+        self.fs.makedirs(self.meta_dir)
+        self.fs.makedirs(self.data_dir)
         m = Manifest(
             version=0,
             snapshot_id=self._snapshot_id(-1),
@@ -319,12 +322,14 @@ class SnapshotTable:
         return self.at_version(self._current_version())
 
     def _current_version(self) -> int:
-        with open(os.path.join(self.meta_dir, "CURRENT")) as f:
-            return int(f.read().strip())
+        return int(
+            self.fs.read_text(os.path.join(self.meta_dir, "CURRENT")).strip()
+        )
 
     def at_version(self, v: int) -> Manifest:
-        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
-            return Manifest.from_json(f.read())
+        return Manifest.from_json(
+            self.fs.read_text(os.path.join(self.meta_dir, f"v{v}.json"))
+        )
 
     def earliest_retained_version(self) -> int:
         """Oldest version whose manifest vacuum has not expired — the
@@ -332,7 +337,7 @@ class SnapshotTable:
         incremental consumer positioned below it must re-bootstrap."""
         vs = [
             int(fn[1:-5])
-            for fn in os.listdir(self.meta_dir)
+            for fn in self.fs.listdir(self.meta_dir)
             if fn.startswith("v") and fn.endswith(".json")
         ]
         if not vs:
@@ -346,7 +351,7 @@ class SnapshotTable:
         Raises ValueError if every retained version is newer (the
         asked-for state is expired or predates the table)."""
         best = None
-        for fn in os.listdir(self.meta_dir):
+        for fn in self.fs.listdir(self.meta_dir):
             if not (fn.startswith("v") and fn.endswith(".json")):
                 continue
             m = self.at_version(int(fn[1:-5]))
@@ -369,13 +374,14 @@ class SnapshotTable:
 
     def _write_manifest(self, m: Manifest) -> None:
         m.committed_at = time.time()
-        path = os.path.join(self.meta_dir, f"v{m.version}.json")
-        with open(path, "w") as f:
-            f.write(m.to_json())
-        tmp = os.path.join(self.meta_dir, ".CURRENT.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(m.version))
-        os.replace(tmp, os.path.join(self.meta_dir, "CURRENT"))  # atomic swing
+        # version files are immutable (write-once); only the tiny CURRENT
+        # pointer is replaced — an atomic PUT on any store (fs.py)
+        self.fs.write_text_atomic(
+            os.path.join(self.meta_dir, f"v{m.version}.json"), m.to_json()
+        )
+        self.fs.write_text_atomic(
+            os.path.join(self.meta_dir, "CURRENT"), str(m.version)
+        )
 
     # -- single-writer lease ---------------------------------------------
     LEASE_TTL_SEC = 30.0
@@ -401,42 +407,48 @@ class SnapshotTable:
         path = self._lease_path()
         payload = json.dumps(
             {"owner": owner or f"pid-{os.getpid()}", "ts": time.time()}
-        ).encode()
+        )
         deadline = time.monotonic() + timeout
         while True:
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                try:
-                    os.write(fd, payload)
-                finally:
-                    os.close(fd)
+            if self.fs.create_exclusive(path, payload):  # put-if-absent
                 break
-            except FileExistsError:
-                try:
-                    with open(path) as f:
-                        held = json.loads(f.read() or "{}")
-                except (OSError, ValueError):
-                    held = {}
-                if time.time() - held.get("ts", 0.0) > ttl:
-                    try:  # stale holder: takeover
-                        os.unlink(path)
-                    except FileNotFoundError:
-                        pass
-                    continue
-                if time.monotonic() >= deadline:
-                    raise CommitConflictError(
-                        f"{self.root}: commit lease held by "
-                        f"{held.get('owner', '?')} (acquire timed out after "
-                        f"{timeout:.1f}s)"
-                    )
-                time.sleep(0.05)
+            try:
+                token = self.fs.read_token(path)
+                held = json.loads(self.fs.read_text(path) or "{}")
+            except (OSError, ValueError):
+                token, held = None, {}
+            held_ts = held.get("ts")
+            if held_ts is None:
+                # a lease readable but without a ts is mid-write (the
+                # exclusive create lands before its payload) or corrupt:
+                # age it by the file's mtime token, NOT 0 — treating it
+                # as infinitely stale let a contender take over a lease
+                # created microseconds ago (observed under a barrier test)
+                if isinstance(token, tuple) and token and isinstance(
+                    token[0], int
+                ):
+                    held_ts = token[0] / 1e9
+                else:
+                    held_ts = time.time()  # unknown age: assume fresh
+            if time.time() - held_ts > ttl:
+                # stale holder: CONDITIONAL delete (fs.py ETag analogue)
+                # then re-race the exclusive create — concurrent takeover
+                # attempts still elect exactly one winner, and a holder
+                # that renewed between our read and our delete survives
+                if token is not None:
+                    self.fs.delete_if_unchanged(path, token)
+                continue
+            if time.monotonic() >= deadline:
+                raise CommitConflictError(
+                    f"{self.root}: commit lease held by "
+                    f"{held.get('owner', '?')} (acquire timed out after "
+                    f"{timeout:.1f}s)"
+                )
+            time.sleep(0.05)
         try:
             yield
         finally:
-            try:
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
+            self.fs.delete(path, missing_ok=True)
 
     # -- read ------------------------------------------------------------
     def read(
@@ -919,14 +931,13 @@ class SnapshotTable:
         files: dict[str, list[str]] = {}
         for b in range(nb):
             bdir = os.path.join(out_dir, f"bucket={b}")
-            if os.path.isdir(bdir):
-                rels = [
-                    os.path.join(out_rel, f"bucket={b}", f)
-                    for f in sorted(os.listdir(bdir))
-                    if f.endswith(".parquet")
-                ]
-                if rels:
-                    files[str(b)] = rels
+            rels = [
+                os.path.join(out_rel, f"bucket={b}", f)
+                for f in sorted(self.fs.listdir(bdir))
+                if f.endswith(".parquet")
+            ]
+            if rels:
+                files[str(b)] = rels
         summary = {**m.summary, "last_compaction_version": m.version}
         if nb != m.n_buckets:
             summary["rebucketed_from"] = m.n_buckets
@@ -1025,10 +1036,10 @@ class SnapshotTable:
             folded_files[b] = (
                 [
                     os.path.join(out_rel, f"bucket={b}", f)
-                    for f in sorted(os.listdir(bdir))
+                    for f in sorted(self.fs.listdir(bdir))
                     if f.endswith(".parquet")
                 ]
-                if os.path.isdir(bdir)
+                if self.fs.listdir(bdir)
                 else []  # every row was dead → bucket empties
             )
         with self.commit_lease():
@@ -1174,7 +1185,7 @@ class SnapshotTable:
             max_chain = max(max_chain, len(rels))
         retained = sorted(
             int(f[1:-5])
-            for f in os.listdir(self.meta_dir)
+            for f in self.fs.listdir(self.meta_dir)
             if f.startswith("v") and f.endswith(".json")
         )
         epochs = [int(e) for e in m.epochs]
@@ -1288,29 +1299,48 @@ class SnapshotTable:
             raise ValueError(
                 f"pin name must be non-empty [A-Za-z0-9._-], got {name!r}"
             )
-        os.makedirs(self.pins_dir, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self.pins_dir, prefix="_pin")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"version": int(version), "pinned_at": time.time()}, f)
-        os.replace(tmp, os.path.join(self.pins_dir, f"{name}.json"))
+        self.fs.makedirs(self.pins_dir)
+        # under the commit lease, paired with vacuum holding it across
+        # its pin-read → expiry window: a pin either lands before vacuum
+        # reads pins (and is respected) or after vacuum released (and the
+        # floor check below fails LOUDLY instead of the manifest being
+        # expired out from under a silently-accepted pin — the TOCTOU a
+        # lease-less read left open)
+        with self.commit_lease(owner=f"pin-{name}"):
+            p = os.path.join(self.pins_dir, f"{name}.json")
+            self.fs.write_text_atomic(
+                p,
+                json.dumps(
+                    {"version": int(version), "pinned_at": time.time()}
+                ),
+            )
+            floor = self.earliest_retained_version()
+            if int(version) < floor:
+                self.fs.delete(p)
+                raise ValueError(
+                    f"{self.root}: pin {name}@{version} is below the "
+                    f"retained floor {floor} (expired by vacuum) — the "
+                    "consumer must re-bootstrap from a retained snapshot"
+                )
 
     def unpin(self, name: str) -> bool:
         """Drop a consumer's pin (e.g. the feed was decommissioned);
         returns whether it existed."""
         p = os.path.join(self.pins_dir, f"{name}.json")
-        if os.path.exists(p):
-            os.remove(p)
+        if self.fs.exists(p):
+            self.fs.delete(p)
             return True
         return False
 
     def pins(self) -> dict[str, int]:
-        if not os.path.isdir(self.pins_dir):
-            return {}
         out: dict[str, int] = {}
-        for fn in sorted(os.listdir(self.pins_dir)):
+        for fn in sorted(self.fs.listdir(self.pins_dir)):
             if fn.endswith(".json") and not fn.startswith("_"):
-                with open(os.path.join(self.pins_dir, fn)) as f:
-                    out[fn[:-5]] = int(json.load(f)["version"])
+                out[fn[:-5]] = int(
+                    json.loads(
+                        self.fs.read_text(os.path.join(self.pins_dir, fn))
+                    )["version"]
+                )
         return out
 
     def vacuum(
@@ -1333,49 +1363,54 @@ class SnapshotTable:
         reason Iceberg's orphan-file removal has an age cutoff."""
         import time as _time
 
-        now = _time.time()
-        cur = self.current()
-        lo = max(0, cur.version - keep_versions + 1)
-        pin_map = self.pins()
-        if pin_map:
-            lo = min(lo, min(pin_map.values()))
-        keep: set[str] = set()
-        for v in range(lo, cur.version + 1):
-            try:
-                mv = self.at_version(v)
-            except FileNotFoundError:
-                continue
-            for rels in mv.files.values():
-                keep.update(os.path.normpath(r) for r in rels)
-        deleted = freed = 0
-        for dirpath, _dirs, fnames in os.walk(self.data_dir, topdown=False):
-            for fn in fnames:
-                full = os.path.join(dirpath, fn)
+        # the COMMIT LEASE brackets the pin-read → expiry window, paired
+        # with pin_version also pinning under it: a concurrent consumer's
+        # pin either lands before the read below (respected) or after
+        # expiry completes (its own floor check fails loudly) — never in
+        # between, where the manifest it pinned would be expired anyway
+        # (the TOCTOU the round-4 review flagged)
+        with self.commit_lease(owner="vacuum"):
+            now = _time.time()
+            cur = self.current()
+            lo = max(0, cur.version - keep_versions + 1)
+            pin_map = self.pins()
+            if pin_map:
+                lo = min(lo, min(pin_map.values()))
+            keep: set[str] = set()
+            for v in range(lo, cur.version + 1):
+                try:
+                    mv = self.at_version(v)
+                except FileNotFoundError:
+                    continue
+                for rels in mv.files.values():
+                    keep.update(os.path.normpath(r) for r in rels)
+            deleted = freed = 0
+            for full, mtime, size in self.fs.walk_files(self.data_dir):
+                fn = os.path.basename(full)
                 rel = os.path.normpath(os.path.relpath(full, self.root))
                 if fn.endswith(".parquet") and rel not in keep:
-                    if now - os.path.getmtime(full) < min_age_sec:
+                    if now - mtime < min_age_sec:
                         continue  # possibly an in-flight uncommitted epoch
-                    freed += os.path.getsize(full)
-                    os.remove(full)
+                    freed += size
+                    self.fs.delete(full)
                     deleted += 1
                 elif fn.startswith(("_SUCCESS", "._")) or fn.endswith(".crc"):
-                    os.remove(full)
-            if not os.listdir(dirpath):
-                os.rmdir(dirpath)
-        expired = 0
-        for v in range(lo):
-            p = os.path.join(self.meta_dir, f"v{v}.json")
-            if os.path.exists(p):
-                os.remove(p)
-                expired += 1
-        out = {
-            "deleted_files": deleted,
-            "freed_bytes": freed,
-            "expired_manifests": expired,
-        }
-        if pin_map:
-            out["pin_floor"] = min(pin_map.values())
-        return out
+                    self.fs.delete(full)
+            self.fs.prune_empty_dirs(self.data_dir)
+            expired = 0
+            for v in range(lo):
+                p = os.path.join(self.meta_dir, f"v{v}.json")
+                if self.fs.exists(p):
+                    self.fs.delete(p)
+                    expired += 1
+            out = {
+                "deleted_files": deleted,
+                "freed_bytes": freed,
+                "expired_manifests": expired,
+            }
+            if pin_map:
+                out["pin_floor"] = min(pin_map.values())
+            return out
 
     # ---- dead-letter queue (quarantined poison events) -------------------
     # apply_batch(on_malformed='dlq') lands rejects under
@@ -1417,14 +1452,13 @@ class SnapshotTable:
 
 def _dlq_files(dlq_dir: str) -> list[tuple[str, str]]:
     """(epoch-dirname, absolute parquet path) pairs, sorted."""
-    if not os.path.isdir(dlq_dir):
-        return []
+    from milvus_cdc_spark.plans.fs import get_fs
+
+    fs = get_fs(dlq_dir)
     out = []
-    for ep in sorted(os.listdir(dlq_dir)):
+    for ep in sorted(fs.listdir(dlq_dir)):
         epd = os.path.join(dlq_dir, ep)
-        if not os.path.isdir(epd):
-            continue
-        for fn in sorted(os.listdir(epd)):
+        for fn in sorted(fs.listdir(epd)):
             if fn.endswith(".parquet"):
                 out.append((ep, os.path.join(epd, fn)))
     return out
@@ -1480,7 +1514,8 @@ def dlq_replay_dir(
 
 
 def dlq_purge_dir(dlq_dir: str) -> dict[str, int]:
+    from milvus_cdc_spark.plans.fs import get_fs
+
     n = len(_dlq_files(dlq_dir))
-    if os.path.isdir(dlq_dir):
-        shutil.rmtree(dlq_dir)
+    get_fs(dlq_dir).rmtree(dlq_dir)
     return {"purged_files": n}

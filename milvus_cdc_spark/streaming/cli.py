@@ -274,7 +274,7 @@ def main(argv: list[str] | None = None) -> int:
             "create", "drain", "status", "tail", "pause", "resume",
             "delete", "list", "position", "compact", "vacuum", "bootstrap",
             "convert", "cascade", "pipeline", "rollup", "rollback", "dlq",
-            "lookup", "rebucket", "stats", "publish", "pins",
+            "lookup", "rebucket", "stats", "publish", "pins", "serve",
         ],
     )
     p.add_argument("--log", help="changelog directory (task commands)")
@@ -404,9 +404,29 @@ def main(argv: list[str] | None = None) -> int:
                         "still-malformed rows simply re-quarantine")
     p.add_argument("--purge", action="store_true",
                    help="dlq: drop all quarantined events")
+    p.add_argument("--http-host", default="127.0.0.1",
+                   help="serve: bind address for the HTTP task API")
+    p.add_argument("--http-port", type=int, default=8444,
+                   help="serve: port for the HTTP task API (0 = ephemeral)")
     a = p.parse_args(argv)
 
     # ---- registry / filesystem commands (no Spark session) --------------
+    if a.command == "serve":
+        # HTTP task-management facade (streaming/http_api.py) — the
+        # reference's POST /cdc endpoint (server/server.go:54-66) over the
+        # same registry this CLI uses; Spark-free
+        from milvus_cdc_spark.streaming.http_api import serve
+
+        if not a.tasks_dir:
+            p.error("serve needs --tasks-dir")
+        srv = serve(a.tasks_dir, a.http_host, a.http_port)
+        print(json.dumps({"serving": list(srv.server_address),
+                          "tasks_dir": a.tasks_dir}), flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
     if a.command == "vacuum":
         # maintenance covers EVERY table of a task — single-table specs and
         # multi-collection trees alike (the reference's one maintenance

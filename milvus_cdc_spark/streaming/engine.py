@@ -412,6 +412,14 @@ class CdcTask(_TaskLifecycle):
                 # order (documented producer contract)
                 order="lsn" if self.source == "parquet" else "name",
             )
+        self._hist = None
+        if self.history_path and self._gate is not None:
+            from milvus_cdc_spark.sources.debezium import HistoryCursor
+
+            self._hist = HistoryCursor(
+                self.history_path,
+                os.path.join(checkpoint_dir, "history_cursor.json"),
+            )
 
     # -- the re-rooted plain-reader apply ---------------------------------
     def _apply_files(self, files: list[str], epoch: int) -> None:
@@ -429,7 +437,14 @@ class CdcTask(_TaskLifecycle):
             from milvus_cdc_spark.schemas import CHANGELOG_SCHEMA
 
             batch_df = self.spark.read.schema(CHANGELOG_SCHEMA).parquet(*files)
-        batch_df = _union_history(self.spark, batch_df, self.history_path)
+        if self._hist is not None:
+            # CURSORED history decode: only not-yet-committed topic files
+            # decode (sources/debezium.py::HistoryCursor); the cursor
+            # advances AFTER the epoch commits, so a crash replays the
+            # same DDL into the idempotent manifest (at-least-once)
+            ev = self._hist.events(self.spark)
+            if ev is not None:
+                batch_df = batch_df.unionByName(ev)
         apply_batch(
             self.spark,
             self.table,
@@ -440,6 +455,8 @@ class CdcTask(_TaskLifecycle):
             constraints=self.constraints,
             on_violation=self.on_violation,
         )
+        if self._hist is not None:
+            self._hist.commit()
 
     def _gate_tick(self, delivered: list[str]) -> None:
         """Stage newly-delivered files, resolve any crash intent, apply
@@ -723,6 +740,14 @@ class MultiCdcTask(_TaskLifecycle):
                 os.path.join(checkpoint_dir, "wal_ledger.json"),
                 order="lsn" if source == "parquet" else "name",
             )
+        self._hist = None
+        if self.history_path and self._gate is not None:
+            from milvus_cdc_spark.sources.debezium import HistoryCursor
+
+            self._hist = HistoryCursor(
+                self.history_path,
+                os.path.join(checkpoint_dir, "history_cursor.json"),
+            )
 
     # -- naming / namespaces ----------------------------------------------
     def _table_path(self, name: str) -> str:
@@ -967,10 +992,13 @@ class MultiCdcTask(_TaskLifecycle):
             batch_df = self.spark.read.schema(
                 MULTI_CHANGELOG_SCHEMA
             ).parquet(*files)
-        batch_df = _union_history(
-            self.spark, batch_df, self.history_path, multi_table=True
-        )
+        if self._hist is not None:  # cursored decode, see CdcTask
+            ev = self._hist.events(self.spark, multi_table=True)
+            if ev is not None:
+                batch_df = batch_df.unionByName(ev)
         self.apply_multi(batch_df, epoch)
+        if self._hist is not None:
+            self._hist.commit()
 
     def _gate_tick(self, delivered: list[str]) -> None:
         """Identical protocol to CdcTask._gate_tick; apply_multi is

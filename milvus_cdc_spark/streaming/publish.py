@@ -72,10 +72,18 @@ def publish_round(
     spark: SparkSession,
     table: SnapshotTable,
     out_dir: str,
-    n_files: int = 1,
+    n_files: int | None = None,
+    target_rows_per_file: int = 250_000,
 ) -> dict[str, Any]:
     """One egress round: publish the table's advance since the cursor as
     Debezium JSON-lines files ``round-<to_version>-<i>.jsonl``.
+
+    ``n_files=None`` (default) sizes the output from the round's actual
+    row count (``ceil(rows / target_rows_per_file)``): incremental diffs
+    still produce one tidy file, while the BOOTSTRAP round of a large
+    table fans out instead of funnelling the entire snapshot through a
+    single write task — the scale cliff a fixed n_files=1 had. Pass an
+    explicit ``n_files`` to pin the layout.
 
     Returns ``{published, files, from_version, to_version}``;
     ``published == 0`` with no new files when the table hasn't advanced
@@ -114,9 +122,14 @@ def publish_round(
         n = env.count()
         names: list[str] = []
         if n:
+            k = (
+                n_files
+                if n_files is not None
+                else -(-n // max(1, target_rows_per_file))  # ceil
+            )
             tmp = tempfile.mkdtemp(dir=out_dir, prefix="_pub_tmp_")
             try:
-                env.coalesce(max(1, n_files)).write.mode("overwrite").text(tmp)
+                env.coalesce(max(1, k)).write.mode("overwrite").text(tmp)
                 parts = sorted(
                     f for f in os.listdir(tmp)
                     if f.startswith("part-") and f.endswith(".txt")

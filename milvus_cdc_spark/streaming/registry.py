@@ -148,7 +148,30 @@ class TaskRegistry:
                         f"task {other['name']} conflicts: {leaf} overlaps "
                         f"a subscribed table tree ({root_owner})"
                     )
-        spec = {**spec, "name": name, "created_ts": time.time()}
+        # store PATH fields absolute: retention-pin names hash the target
+        # path (plans/manifest.py::consumer_pin_name, abspath at call
+        # time), so a spec carrying relative paths would mint a DIFFERENT
+        # pin name whenever a later verb (delete/--unpin) runs from a
+        # different cwd — the pin would silently never release and floor
+        # the source's vacuum forever. Absolute-at-create makes every
+        # verb cwd-independent.
+        path_fields = [
+            "table", "tables_root", "checkpoint", "src_table",
+            "src_tables_root", "view_store", "publish_out", "history",
+            "store", "out",
+        ]
+        if spec.get("source") != "kafka":  # kafka: 'log' is a topic name
+            path_fields.append("log")
+        spec = {
+            **spec,
+            **{
+                f: os.path.abspath(spec[f])
+                for f in path_fields
+                if spec.get(f) and "://" not in str(spec[f])  # URIs as-is
+            },
+            "name": name,
+            "created_ts": time.time(),
+        }
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             f.write(json.dumps(spec, indent=1))
@@ -418,11 +441,23 @@ class TaskRegistry:
             t = ds.dataset(lin_dir, format="parquet").to_table(
                 columns=["part", "end_lsn"]
             )
+            from milvus_cdc_spark.streaming.cascade import (
+                _DELETE_LSN_OFFSET,
+            )
+
             ends: dict[int, int] = {}
             for part, end in zip(
                 t.column("part").to_pylist(), t.column("end_lsn").to_pylist()
             ):
-                if end is not None and (part not in ends or end > ends[part]):
+                if end is None:
+                    continue
+                # tombstones in published feeds / cascades ride with the
+                # pre-image lsn offset by 2^62 (cascade.changes_to_ops —
+                # feed-internal uniqueness); strip it here or one delete
+                # reports a ~4.6e18 position and destroys the operator-
+                # facing lsn/lag signal
+                end %= _DELETE_LSN_OFFSET
+                if part not in ends or end > ends[part]:
                     ends[part] = end
             out["applied_end_lsn_per_part"] = {
                 str(k): v for k, v in sorted(ends.items())

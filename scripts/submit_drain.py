@@ -11,16 +11,19 @@ the server binary plus its config, /root/reference/server/main/main.go).
         drain --log /mnt/lake/changelog --table /mnt/lake/transcripts \
         --checkpoint /mnt/lake/ckpt/t1
 
-PATHS: ``--table``/``--tables-root``/``--checkpoint``/``--tasks-dir`` must
-be on a POSIX-mounted filesystem shared by driver and executors (local
-disk, NFS, Lustre, or an object store behind a FUSE mount such as
-s3fs/goofys/gcsfuse) — SnapshotTable's manifest commits use atomic
-``os.replace``/``O_EXCL`` for the single-writer lease, which raw
-``s3://``-style URIs cannot provide. ``--log`` is read through Spark's
-Hadoop readers and additionally accepts any Hadoop-supported URI. On a
-catalog-backed deployment the manifest pointer swap would move to an
-Iceberg/Hive catalog CAS (see plans/manifest.py docstring) and table
-roots could then live directly on object storage.
+PATHS: every manifest/pins/DLQ byte goes through the ``TableFS``
+abstraction (plans/fs.py): the shipped ``LocalFS`` covers table roots on
+a POSIX filesystem shared by driver and executors (local disk, NFS,
+Lustre, or an object store behind a FUSE mount such as
+s3fs/goofys/gcsfuse). Raw ``s3://``/``gs://`` table roots need the
+object-store implementation of the eight verbs specified in plans/fs.py
+(atomic PUT for the CURRENT pointer, conditional PUT/DELETE for the
+single-writer lease, prefix LIST for versions/pins) — a mechanical
+fill-in against that table, not a protocol change, because manifest
+versions are immutable and only the pointer is ever replaced. ``--log``
+is read through Spark's Hadoop readers and accepts any Hadoop-supported
+URI today. On a catalog-backed deployment the pointer swap can instead
+move to an Iceberg/Hive catalog CAS (see plans/manifest.py docstring).
 
 Inside spark-submit the JVM already exists, so milvus_cdc_spark.session's
 builder attaches to it; all CLI verbs (create/drain/tail/status/pause/

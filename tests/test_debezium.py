@@ -458,3 +458,67 @@ def test_history_encoder_emits_create_for_no_alters(spark):
     assert msg["ts_ms"] == 0
     got = [c["name"] for c in msg["tableChanges"][0]["table"]["columns"]]
     assert got == [n for n, _t in S.TRANSCRIPTS_BASE_COLUMNS]
+
+
+def test_history_cursor_decodes_incrementally(spark, tmp_path):
+    """HistoryCursor (round-5): only NEW topic files decode per round;
+    the persisted per-table column state seeds the consecutive-state
+    diff so transitions split across rounds still emit exactly the
+    full-decode events — and an uncommitted round re-decodes (the
+    at-least-once crash contract)."""
+    from datetime import datetime
+
+    from milvus_cdc_spark.sources.debezium import (
+        HistoryCursor,
+        read_debezium_history,
+        to_debezium_history,
+    )
+
+    d = tmp_path / "hist"
+    d.mkdir()
+    state = str(tmp_path / "cursor.json")
+
+    def land(ddl_rows, name):
+        df = to_debezium_history(spark, ddl_rows, S.TRANSCRIPTS_BASE_COLUMNS)
+        tmp = str(tmp_path / "stage")
+        df.coalesce(1).write.mode("overwrite").text(tmp)
+        for f in os.listdir(tmp):
+            if f.startswith("part-"):
+                os.replace(os.path.join(tmp, f), str(d / name))
+
+    add = {"lsn": 10, "ts": datetime(2024, 1, 1), "op": S.OP_ADD_COLUMN,
+           "ddl_arg": '{"column":"score","type":"bigint"}'}
+    widen = {"lsn": 20, "ts": datetime(2024, 1, 2), "op": S.OP_WIDEN_COLUMN,
+             "ddl_arg": '{"column":"turn_idx","type":"bigint"}'}
+
+    cur = HistoryCursor(str(d), state)
+    assert cur.events(spark) is None  # empty topic: no Spark job
+
+    land([add], "a.json")
+    ev1 = cur.events(spark).collect()
+    assert [(r["op"], r["ddl_arg"]) for r in ev1] == [
+        (S.OP_ADD_COLUMN, '{"column":"score","type":"bigint"}')
+    ]
+    cur.commit()
+    assert cur.events(spark) is None  # nothing new → no redecode
+
+    # round 2 encodes the FULL history (CREATE + both alters) in a new
+    # file set; the cursor must emit ONLY the widen transition, seeded
+    # by its stored post-add state
+    land([add, widen], "b.json")
+    ev2 = (HistoryCursor(str(d), state)  # fresh instance: state is disk
+           .events(spark).collect())
+    ops2 = sorted((r["op"], r["ddl_arg"]) for r in ev2)
+    assert (S.OP_WIDEN_COLUMN,
+            '{"column":"turn_idx","type":"bigint"}') in ops2
+    assert all(o != S.OP_ADD_COLUMN or "score" not in a for o, a in ops2)
+
+    # crash contract: events() without commit() → same events again
+    cur3 = HistoryCursor(str(d), state)
+    again = cur3.events(spark).collect()
+    assert sorted((r["op"], r["ddl_arg"]) for r in again) == ops2
+    cur3.commit()
+    # cursored round-2 events are a subset of the full decode over the
+    # final topic (the add emitted in round 1, not again in round 2)
+    full = read_debezium_history(spark, str(d)).collect()
+    assert set(ops2) <= {(r["op"], r["ddl_arg"]) for r in full}

@@ -308,3 +308,31 @@ def test_publish_expired_cursor_fails_loudly(spark, tmp_path, src):
     src.vacuum(keep_versions=2, min_age_sec=0)
     with pytest.raises(ValueError, match="expired by vacuum"):
         publish_round(spark, src, feed)
+
+
+def test_publish_bootstrap_sizes_files_from_rows(spark, tmp_path, src):
+    """What's-wrong #3 (round 4): a fixed n_files=1 funnelled a large
+    bootstrap through one write task. Default sizing now fans the round
+    out by row count — and the multi-file feed still consumes to the
+    identical state."""
+    log = generate_changelog(spark, 1500, n_parts=4, n_convs=60,
+                             turns_per_conv=10, evolve=False, drops=False)
+    apply_batch(spark, src, log, epoch=0)
+    feed = str(tmp_path / "feed")
+    r1 = publish_round(spark, src, feed, target_rows_per_file=100)
+    assert r1["published"] > 100
+    assert len(r1["files"]) > 1  # bootstrap fans out
+    # explicit n_files still pins the layout (small incremental rounds)
+    log2 = generate_changelog(spark, 200, n_parts=4, seed=9,
+                              evolve=False, drops=False)
+    apply_batch(spark, src, log2.withColumn(
+        "lsn", F.col("lsn") + 10_000), epoch=1)
+    r2 = publish_round(spark, src, feed, n_files=1)
+    assert len(r2["files"]) == 1
+    dst = _consume(spark, tmp_path, feed, [r1, r2])
+    want = sorted(
+        tuple(r) for r in src.read(spark)
+        .select(*[c for c in dst.read(spark).columns]).collect()
+    )
+    got = sorted(tuple(r) for r in dst.read(spark).collect())
+    assert got == want
