@@ -405,9 +405,8 @@ class SnapshotTable:
         ttl = self.LEASE_TTL_SEC if ttl_sec is None else ttl_sec
         timeout = (ttl * 1.5 + 1.0) if timeout_sec is None else timeout_sec
         path = self._lease_path()
-        payload = json.dumps(
-            {"owner": owner or f"pid-{os.getpid()}", "ts": time.time()}
-        )
+        who = owner or f"pid-{os.getpid()}"
+        payload = json.dumps({"owner": who, "ts": time.time()})
         deadline = time.monotonic() + timeout
         while True:
             if self.fs.create_exclusive(path, payload):  # put-if-absent
@@ -445,10 +444,25 @@ class SnapshotTable:
                     f"{timeout:.1f}s)"
                 )
             time.sleep(0.05)
+        my_token = [self.fs.read_token(path)]
+
+        def renew() -> None:
+            """Refresh the lease ts so a long holder (vacuum walking a
+            big data dir) isn't TTL-taken-over mid-section; cheap enough
+            to call per work batch."""
+            self.fs.write_text_atomic(
+                path, json.dumps({"owner": who, "ts": time.time()})
+            )
+            my_token[0] = self.fs.read_token(path)
+
         try:
-            yield
+            yield renew
         finally:
-            self.fs.delete(path, missing_ok=True)
+            # CONDITIONAL release: if the lease no longer matches the one
+            # we hold (a TTL takeover replaced it), leave the new holder's
+            # lease alone — an unconditional delete here would evict a
+            # legitimate successor and let a third writer enter
+            self.fs.delete_if_unchanged(path, my_token[0])
 
     # -- read ------------------------------------------------------------
     def read(
@@ -1369,7 +1383,7 @@ class SnapshotTable:
         # expiry completes (its own floor check fails loudly) — never in
         # between, where the manifest it pinned would be expired anyway
         # (the TOCTOU the round-4 review flagged)
-        with self.commit_lease(owner="vacuum"):
+        with self.commit_lease(owner="vacuum") as renew:
             now = _time.time()
             cur = self.current()
             lo = max(0, cur.version - keep_versions + 1)
@@ -1385,7 +1399,11 @@ class SnapshotTable:
                 for rels in mv.files.values():
                     keep.update(os.path.normpath(r) for r in rels)
             deleted = freed = 0
+            n_seen = 0
             for full, mtime, size in self.fs.walk_files(self.data_dir):
+                n_seen += 1
+                if n_seen % 2000 == 0:
+                    renew()  # big tables: outlive the lease TTL safely
                 fn = os.path.basename(full)
                 rel = os.path.normpath(os.path.relpath(full, self.root))
                 if fn.endswith(".parquet") and rel not in keep:

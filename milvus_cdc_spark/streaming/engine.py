@@ -411,7 +411,13 @@ class CdcTask(_TaskLifecycle):
                 # files are named in topic order, so name order IS lsn
                 # order (documented producer contract)
                 order="lsn" if self.source == "parquet" else "name",
+                range_fn=(
+                    self._lsn_range_fn if self.source == "parquet" else None
+                ),
             )
+            # upgrade path: inherit a pre-gate checkpoint's delivered set
+            # so historical files neither block nor collide epoch ids
+            self._gate.bootstrap_from_checkpoint(checkpoint_dir)
         self._hist = None
         if self.history_path and self._gate is not None:
             from milvus_cdc_spark.sources.debezium import HistoryCursor
@@ -422,7 +428,38 @@ class CdcTask(_TaskLifecycle):
             )
 
     # -- the re-rooted plain-reader apply ---------------------------------
-    def _apply_files(self, files: list[str], epoch: int) -> None:
+    def _lsn_range_fn(self, path: str):
+        """Footer stats first; a schema'd Spark scan as the documented
+        fallback for stat-less files. A parquet file with NO lsn values
+        (a stray non-changelog file) resolves to the empty range so it
+        applies immediately and the malformed-event policy owns it LOUDLY
+        (fail/dlq) — silent queue-blocking is reserved for files that are
+        genuinely unreadable (mid-write)."""
+        from milvus_cdc_spark.streaming.wal import parquet_lsn_range
+
+        rng = parquet_lsn_range(path)
+        if rng is not None:
+            return rng
+        try:
+            from pyspark.sql import functions as F
+
+            from milvus_cdc_spark.schemas import CHANGELOG_SCHEMA
+
+            r = (
+                self.spark.read.schema(CHANGELOG_SCHEMA)
+                .parquet(path)
+                .agg(F.min("lsn"), F.max("lsn"))
+                .collect()[0]
+            )
+            if r[0] is None:
+                return (0, -1)
+            return (int(r[0]), int(r[1]))
+        except Exception:
+            return None  # truly unreadable: keep blocking, retry next tick
+
+    def _apply_files(
+        self, files: list[str], epoch: int, with_history: bool = True
+    ) -> None:
         """Apply one file-group as one epoch. The plain batch reader is a
         deliberate re-root: the FileStreamSource's relation bypasses the
         vectorized-scan fast path (measured 4-13x per-row CPU inflation on
@@ -437,7 +474,8 @@ class CdcTask(_TaskLifecycle):
             from milvus_cdc_spark.schemas import CHANGELOG_SCHEMA
 
             batch_df = self.spark.read.schema(CHANGELOG_SCHEMA).parquet(*files)
-        if self._hist is not None:
+        use_hist = self._hist is not None and with_history
+        if use_hist:
             # CURSORED history decode: only not-yet-committed topic files
             # decode (sources/debezium.py::HistoryCursor); the cursor
             # advances AFTER the epoch commits, so a crash replays the
@@ -445,7 +483,7 @@ class CdcTask(_TaskLifecycle):
             ev = self._hist.events(self.spark)
             if ev is not None:
                 batch_df = batch_df.unionByName(ev)
-        apply_batch(
+        res = apply_batch(
             self.spark,
             self.table,
             batch_df,
@@ -455,7 +493,10 @@ class CdcTask(_TaskLifecycle):
             constraints=self.constraints,
             on_violation=self.on_violation,
         )
-        if self._hist is not None:
+        # never advance the cursor past DDL a SKIPPED epoch did not apply
+        # (an intent replay of an already-committed epoch must not eat
+        # history files that arrived after the crash)
+        if use_hist and not res.get("skipped"):
             self._hist.commit()
 
     def _gate_tick(self, delivered: list[str]) -> None:
@@ -468,8 +509,11 @@ class CdcTask(_TaskLifecycle):
         if it is not None:
             ep, grp = it
             # idempotent: a group whose epoch already committed is skipped
-            # by the manifest gate; otherwise this is the crash replay
-            self._apply_files(grp, ep)
+            # by the manifest gate; otherwise this is the crash replay.
+            # History stays OUT of intent replays — new topic files ride
+            # the next fresh group instead (the engine tolerates DDL
+            # arriving after its data via the bag/pending-widen paths)
+            self._apply_files(grp, ep, with_history=False)
             self._gate.done(ep, grp)
         for ep, grp in self._gate.groups(self.max_files_per_trigger):
             self._gate.begin(ep, grp)
@@ -489,6 +533,19 @@ class CdcTask(_TaskLifecycle):
                 files = delivered_files(self.checkpoint_dir, epoch_id)
                 if files is None:
                     files = [local_path(u) for u in batch_df.inputFiles()]
+                    if not files and not batch_df.isEmpty():
+                        # data arrived but its file identity is unreadable
+                        # (checkpoint source log not locally accessible):
+                        # silently acking would strand the files as
+                        # undelivered blockers forever — refuse loudly
+                        raise RuntimeError(
+                            f"wal_order=True requires a locally readable "
+                            f"streaming checkpoint (no source log at "
+                            f"{self.checkpoint_dir}/sources/0/{epoch_id}) "
+                            "— move the checkpoint onto a shared POSIX "
+                            "path or pass wal_order=False for order-"
+                            "insensitive (patch-free) logs"
+                        )
                 self._gate_tick(files)
                 self._maybe_compact(self.table)
                 return
@@ -739,7 +796,11 @@ class MultiCdcTask(_TaskLifecycle):
                 changelog_path,
                 os.path.join(checkpoint_dir, "wal_ledger.json"),
                 order="lsn" if source == "parquet" else "name",
+                range_fn=(
+                    self._lsn_range_fn if source == "parquet" else None
+                ),
             )
+            self._gate.bootstrap_from_checkpoint(checkpoint_dir)
         self._hist = None
         if self.history_path and self._gate is not None:
             from milvus_cdc_spark.sources.debezium import HistoryCursor
@@ -977,7 +1038,11 @@ class MultiCdcTask(_TaskLifecycle):
                     f"first = {name}"
                 ) from err
 
-    def _apply_files(self, files: list[str], epoch: int) -> None:
+    _lsn_range_fn = CdcTask._lsn_range_fn
+
+    def _apply_files(
+        self, files: list[str], epoch: int, with_history: bool = True
+    ) -> None:
         """One file-group → one apply_multi epoch (plain-reader re-root,
         see CdcTask._apply_files)."""
         if self.source == "debezium":
@@ -992,23 +1057,25 @@ class MultiCdcTask(_TaskLifecycle):
             batch_df = self.spark.read.schema(
                 MULTI_CHANGELOG_SCHEMA
             ).parquet(*files)
-        if self._hist is not None:  # cursored decode, see CdcTask
+        use_hist = self._hist is not None and with_history
+        if use_hist:  # cursored decode, see CdcTask
             ev = self._hist.events(self.spark, multi_table=True)
             if ev is not None:
                 batch_df = batch_df.unionByName(ev)
         self.apply_multi(batch_df, epoch)
-        if self._hist is not None:
+        if use_hist:
             self._hist.commit()
 
     def _gate_tick(self, delivered: list[str]) -> None:
         """Identical protocol to CdcTask._gate_tick; apply_multi is
         idempotent per (table, epoch), which is what makes the intent
-        replay safe."""
+        replay safe. History stays out of intent replays (a skipped
+        per-table epoch must not eat post-crash topic files)."""
         self._gate.stage(delivered)
         it = self._gate.intent()
         if it is not None:
             ep, grp = it
-            self._apply_files(grp, ep)
+            self._apply_files(grp, ep, with_history=False)
             self._gate.done(ep, grp)
         for ep, grp in self._gate.groups(self.max_files_per_trigger):
             self._gate.begin(ep, grp)
@@ -1026,6 +1093,14 @@ class MultiCdcTask(_TaskLifecycle):
                 files = delivered_files(self.checkpoint_dir, epoch_id)
                 if files is None:
                     files = [local_path(u) for u in batch_df.inputFiles()]
+                    if not files and not batch_df.isEmpty():
+                        raise RuntimeError(  # see CdcTask: refuse loudly
+                            f"wal_order=True requires a locally readable "
+                            f"streaming checkpoint (no source log at "
+                            f"{self.checkpoint_dir}/sources/0/{epoch_id})"
+                            " — or pass wal_order=False for patch-free "
+                            "logs"
+                        )
                 self._gate_tick(files)
                 return
             files = batch_df.inputFiles()

@@ -118,6 +118,14 @@ class _Api:
         return name
 
 
+#: the reference's exact verb set (server/cdc_api.go:26-36) — an explicit
+#: allowlist so request_type can never resolve a non-verb attribute
+_VERBS = frozenset(
+    {"create", "delete", "pause", "resume", "get", "get_position",
+     "list", "maintenance"}
+)
+
+
 def _make_handler(api: _Api):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet: status rides the response
@@ -140,8 +148,10 @@ def _make_handler(api: _Api):
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 rtype = req.get("request_type")
-                handler = getattr(api, rtype, None) if rtype else None
-                if handler is None or rtype.startswith("_"):
+                handler = (
+                    getattr(api, rtype, None) if rtype in _VERBS else None
+                )
+                if handler is None:
                     return self._reply(
                         400,
                         {

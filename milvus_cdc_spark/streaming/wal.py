@@ -119,9 +119,13 @@ def parquet_lsn_range(path: str, col: str = "lsn") -> LsnRange | None:
         if mn is None:
             return (0, -1)  # zero-row file: applies anywhere, blocks nothing
         return (int(mn), int(mx))
-    except (ValueError, KeyError):
-        raise
     except Exception:
+        # unreadable footer (mid-write), no statistics, or no lsn column
+        # (a stray non-changelog parquet) — None means "range unknown";
+        # the caller's fallback (a schema'd Spark scan) resolves it, and
+        # a stray file resolves to the empty range so it flows into the
+        # engine's loud malformed-event policy instead of silently
+        # blocking the queue
         return None
 
 
@@ -227,6 +231,46 @@ class WalGate:
                 )
         self._save()
 
+    def bootstrap_from_checkpoint(self, checkpoint_dir: str) -> None:
+        """One-time upgrade path: a streaming checkpoint with committed
+        batches but NO ledger predates the gate. Without this, the old
+        (already-applied) changelog files would block every new file as
+        'undelivered', and once retention removed them the fresh epoch
+        counter (0, 1, …) would collide with manifest epochs committed
+        under Spark batch ids — apply_batch would skip and the gate would
+        mark new files applied with their data never landing. The source
+        log itself records every historically-delivered file, so: mark
+        them delivered+applied (the ungated engine applied every batch on
+        delivery) and continue epoch numbering past the last Spark batch
+        id."""
+        if os.path.exists(self.ledger_path):
+            return
+        src = os.path.join(checkpoint_dir, "sources", "0")
+        if not os.path.isdir(src):
+            return  # fresh checkpoint: nothing to inherit
+        st = self._load()
+        max_batch = -1
+        for fn in os.listdir(src):
+            base = fn[:-8] if fn.endswith(".compact") else fn
+            if not base.isdigit():
+                continue
+            max_batch = max(max_batch, int(base))
+            with open(os.path.join(src, fn)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue
+                    p = local_path(json.loads(line)["path"])
+                    st["files"][p] = {
+                        "min": None,
+                        "max": None,
+                        "delivered": True,
+                        "applied": True,
+                    }
+        if max_batch >= 0:
+            st["next_epoch"] = max_batch + 1
+            self._save()
+
     def intent(self) -> tuple[int, list[str]] | None:
         it = self._load()["intent"]
         if it is None:
@@ -268,13 +312,37 @@ class WalGate:
         for p in candidates:
             self._entry(p)  # ensure ranges are known/attempted
         ordered = sorted(candidates, key=self._sort_key)
+        # blocking watermark: no file may apply at-or-above the lowest lsn
+        # an undelivered (or unknown-range) candidate could contain —
+        # protects OVERLAPPING ranges too: if delivered A=[1,5] coexists
+        # with undelivered B=[2,6], A must wait (applying A then staging B
+        # would be a false append-order violation)
+        blocked_min = None
+        if self.order == "lsn":
+            for p in ordered:
+                e = st["files"][p]
+                if e["applied"]:
+                    continue  # an applied file never blocks
+                if not e["delivered"] or e["min"] is None:
+                    lo = e["min"] if e["min"] is not None else -(1 << 62)
+                    blocked_min = lo if blocked_min is None else min(
+                        blocked_min, lo
+                    )
         applicable: list[str] = []
         for p in ordered:
             e = st["files"][p]
+            if e["applied"]:
+                continue  # incl. checkpoint-bootstrap entries (range unknown)
             if not e["delivered"] or (self.order == "lsn" and e["min"] is None):
                 break  # undelivered/unreadable candidate blocks all above
-            if not e["applied"]:
-                applicable.append(p)
+            if (
+                self.order == "lsn"
+                and blocked_min is not None
+                and e["max"] is not None
+                and e["max"] >= blocked_min
+            ):
+                break  # overlaps a not-yet-deliverable range
+            applicable.append(p)
         if not applicable:
             self._save()  # persist any newly-cached ranges
             return []

@@ -252,3 +252,94 @@ def test_gate_unit_ordering_and_grouping(tmp_path):
         ["d"]
     ]
     assert gs[0][0] == 1  # epoch numbering continued past the first group
+
+
+def test_ledger_lost_checkpoint_bootstraps_from_source_log(spark, tmp_path):
+    """Upgrade/recovery path: a checkpoint with committed batches but NO
+    ledger (pre-gate engine, or a deleted ledger) must not strand old
+    files as undelivered blockers nor collide fresh epoch ids with
+    manifest epochs — the gate rebuilds its delivered/applied set from
+    the stream's own source log and continues numbering past the last
+    Spark batch id."""
+    import json as _json
+
+    log = str(tmp_path / "log")
+    write_changelog(
+        generate_changelog(
+            spark, 2000, n_parts=2, ties_group=1, patch_pct=10,
+            num_partitions=2,
+        ),
+        log,
+        n_files=4,
+    )
+    table, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    task = run_until_drained(
+        spark, log, table, ckpt, max_files_per_trigger=2, n_buckets=4
+    )
+    want, cols = _oracle_tuples(spark, log)
+    assert _table_tuples(spark, task, cols) == want
+    epochs_before = len(task.table.current().epochs)
+
+    # simulate the pre-gate checkpoint: drop the ledger, append new files.
+    # ts shifts forward WITH lsn — per-key (ts,rank,lsn) order must agree
+    # with log order, the causal regime every real WAL gives and the
+    # boundary of the OP_PATCH oracle-equivalence contract (schemas.py)
+    os.remove(os.path.join(ckpt, "wal_ledger.json"))
+    extra = (
+        generate_changelog(
+            spark, 2000, n_parts=2, ties_group=1, patch_pct=10, seed=77,
+            num_partitions=2, evolve=False, drops=False,
+        )
+        .withColumn("lsn", F.col("lsn") + 100_000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    write_changelog(extra, str(tmp_path / "late"), n_files=2)
+    for f in os.listdir(str(tmp_path / "late")):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(str(tmp_path / "late"), f),
+                os.path.join(log, "z-" + f),
+            )
+    task2 = run_until_drained(
+        spark, log, table, ckpt, max_files_per_trigger=2, n_buckets=4
+    )
+    # new data landed (no stall, no epoch-id collision skip-loss)
+    assert len(task2.table.current().epochs) > epochs_before
+    want2, cols2 = _oracle_tuples(spark, log)
+    assert _table_tuples(spark, task2, cols2) == want2
+    led = _json.load(open(os.path.join(ckpt, "wal_ledger.json")))
+    assert led["next_epoch"] > epochs_before  # numbering continued past
+
+
+def test_stray_parquet_without_lsn_fails_loudly_not_silently(spark, tmp_path):
+    """A non-changelog parquet dropped into the log dir must surface
+    through the malformed-event policy (loud fail / dlq), not silently
+    block the WAL queue forever."""
+    log = str(tmp_path / "log")
+    write_changelog(
+        generate_changelog(spark, 1000, num_partitions=2), log, n_files=2
+    )
+    # stray file: wrong schema entirely (no lsn column, no stats for it)
+    spark.range(5).selectExpr("id AS foo", "id * 2 AS bar").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "stray"))
+    for f in os.listdir(str(tmp_path / "stray")):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(str(tmp_path / "stray"), f),
+                os.path.join(log, "a-stray.parquet"),
+            )
+    task = CdcTask(
+        spark, log, str(tmp_path / "t"), str(tmp_path / "ck"),
+        max_files_per_trigger=4, n_buckets=4,
+    )
+    with pytest.raises(Exception, match="malformed"):
+        task.start(available_now=True)
+        task.wait_drained(120)
+    # and with dlq mode the drain completes, quarantining the stray rows
+    task2 = run_until_drained(
+        spark, log, str(tmp_path / "t2"), str(tmp_path / "ck2"),
+        max_files_per_trigger=4, n_buckets=4, on_malformed="dlq",
+    )
+    assert task2._gate.pending() == 0
+    assert os.path.isdir(os.path.join(str(tmp_path / "t2"), "dlq"))
