@@ -515,7 +515,12 @@ class CdcTask(_TaskLifecycle):
             # arriving after its data via the bag/pending-widen paths)
             self._apply_files(grp, ep, with_history=False)
             self._gate.done(ep, grp)
-        for ep, grp in self._gate.groups(self.max_files_per_trigger):
+        for ep, grp in self._gate.groups(
+            self.max_files_per_trigger,
+            # bounded drains form full-size epochs (wal.py groups()); the
+            # continuous tail favors latency and applies partials
+            hold_partial_tail=getattr(self, "_drain_mode", False),
+        ):
             self._gate.begin(ep, grp)
             self._apply_files(grp, ep)
             self._gate.done(ep, grp)
@@ -524,6 +529,7 @@ class CdcTask(_TaskLifecycle):
     def start(self, available_now: bool = False):
         from milvus_cdc_spark.streaming.wal import delivered_files, local_path
 
+        self._drain_mode = available_now
         if self._gate is not None:
             # drain any crash-parked intent/backlog before the stream runs
             self._gate_tick([])
@@ -1077,7 +1083,12 @@ class MultiCdcTask(_TaskLifecycle):
             ep, grp = it
             self._apply_files(grp, ep, with_history=False)
             self._gate.done(ep, grp)
-        for ep, grp in self._gate.groups(self.max_files_per_trigger):
+        for ep, grp in self._gate.groups(
+            self.max_files_per_trigger,
+            # bounded drains form full-size epochs (wal.py groups()); the
+            # continuous tail favors latency and applies partials
+            hold_partial_tail=getattr(self, "_drain_mode", False),
+        ):
             self._gate.begin(ep, grp)
             self._apply_files(grp, ep)
             self._gate.done(ep, grp)
@@ -1085,6 +1096,7 @@ class MultiCdcTask(_TaskLifecycle):
     def start(self, available_now: bool = False):
         from milvus_cdc_spark.streaming.wal import delivered_files, local_path
 
+        self._drain_mode = available_now
         if self._gate is not None:
             self._gate_tick([])
 

@@ -287,10 +287,21 @@ class WalGate:
         mx = e["max"] if e["max"] is not None else (1 << 62)
         return (mn, mx, path)
 
-    def groups(self, max_files: int | None) -> list[tuple[int, list[str]]]:
+    def groups(
+        self, max_files: int | None, hold_partial_tail: bool = False
+    ) -> list[tuple[int, list[str]]]:
         """Ordered applicable (epoch, file-group) list for this trigger.
         Reserves the epoch numbers; caller must begin/done each group in
-        order."""
+        order.
+
+        ``hold_partial_tail``: when undelivered candidates remain, a
+        trailing group smaller than ``max_files`` is held for the next
+        trigger instead of committing a small epoch — the undelivered
+        files GUARANTEE another trigger is coming, so a bounded drain
+        forms the same full-size epochs an in-order delivery would
+        (without it, a scattered first trigger's short applicable prefix
+        costs an extra epoch — measured ~6% on the CoW headline). Leave
+        it off for latency-sensitive continuous tails."""
         st = self._load()
         listing = self._list_dir()
         if listing is None:  # non-listable root: delivered set only
@@ -364,7 +375,18 @@ class WalGate:
             group.append(p)
             if self.order == "lsn" and e["max"] is not None:
                 group_max = e["max"] if group_max is None else max(group_max, e["max"])
-        out.append((st["next_epoch"] + len(out), group))
+        undelivered_remain = any(
+            not e["delivered"]
+            for e in st["files"].values()
+            if not e["applied"]
+        )
+        if not (
+            hold_partial_tail
+            and undelivered_remain
+            and max_files
+            and len(group) < max_files
+        ):
+            out.append((st["next_epoch"] + len(out), group))
         self._save()
         return out
 
